@@ -1,0 +1,79 @@
+"""End-to-end extraction pipeline tests: byte-identical golden fixtures,
+partition-count invariance, corrupt-row degradation (SURVEY.md §5.2)."""
+
+import json
+import pathlib
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+FIXTURES = pathlib.Path(__file__).resolve().parents[1] / "fixtures" / "golden_extractions_sf0.001.json"
+
+
+@pytest.fixture(scope="module")
+def golden():
+    rows = json.loads(FIXTURES.read_text())
+    return {r["url"]: r for r in rows}
+
+
+def _run_extraction(spark, n_partitions: int):
+    from usls_doc_spark.io.synth import pages_from_documents
+    from usls_doc_spark.pipeline.extract import extract_pages
+
+    pages = pages_from_documents(spark, SF_DIR).repartition(n_partitions)
+    return {r["url"]: r.asDict(recursive=True) for r in extract_pages(pages).collect()}
+
+
+def test_byte_identical_vs_fixtures(spark, golden):
+    got = _run_extraction(spark, 8)
+    assert set(got) == set(golden)
+    for url, g in golden.items():
+        r = got[url]
+        assert r["error"] is None, (url, r["error"])
+        # THE per-row invariant: byte-identical extracted text per url
+        assert r["extracted_text"].encode("utf-8") == g["extracted_text"].encode("utf-8"), url
+        assert r["n_blocks"] == g["n_blocks"], url
+        assert r["extracted_bytes"] == g["extracted_bytes"], url
+        got_blocks = [
+            (b["x"], b["y"], b["width"], b["height"], b["cls"], b["order"]) for b in r["blocks"]
+        ]
+        exp_blocks = [
+            (b["x"], b["y"], b["width"], b["height"], b["cls"], b["order"]) for b in g["blocks"]
+        ]
+        assert got_blocks == exp_blocks, url
+
+
+def test_partition_count_invariance(spark):
+    # same bytes out of 3-partition and 16-partition runs — no dependence on
+    # task layout (SURVEY.md §7 "byte-identical under reordering")
+    a = _run_extraction(spark, 3)
+    b = _run_extraction(spark, 16)
+    assert a.keys() == b.keys()
+    for url in a:
+        assert a[url]["extracted_text"] == b[url]["extracted_text"]
+        assert a[url]["blocks"] == b[url]["blocks"]
+
+
+def test_corrupt_rows_degrade_not_fail(spark):
+    # dataloader.rs:376-383 semantics: unreadable input -> warn/skip, keyed by
+    # url (no positional zip misalignment — docstructbench.rs:74 bug avoided)
+    import datetime as dt
+
+    from usls_doc_spark.pipeline.extract import extract_pages
+
+    rows = [
+        ("u-null", dt.datetime(2024, 1, 1), None, "t", "en"),
+        ("u-bad-utf8", dt.datetime(2024, 1, 1), b"\xff\xfe<p>x</p>", "t", "en"),
+        ("u-ok", dt.datetime(2024, 1, 1), b"<html><body><h1>T</h1><p>hello world</p></body></html>", "t", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = {r["url"]: r.asDict() for r in extract_pages(pages).collect()}
+    assert len(out) == 3
+    assert out["u-null"]["error"] is not None
+    assert out["u-null"]["extracted_text"] is None
+    assert out["u-bad-utf8"]["error"] is None  # decodes with replacement
+    assert out["u-ok"]["error"] is None
+    assert out["u-ok"]["extracted_text"] == "T hello world"

@@ -1,0 +1,119 @@
+"""Deterministic Common-Crawl-style pages source (input_hint shape, exactly).
+
+Synthesizes the ``pages`` table (url:string, warc_ts:timestamp, html:binary,
+text:string, lang:string — BASELINE.json input_hint) from the driver's
+read-only ``documents`` parquet. Pure function of (doc_id, text, lang): no
+RNG state, no partition-order dependence, so the same doc yields the same
+page bytes at any parallelism — the foundation of the byte-identical
+invariant (FIXTURES.md §1-2).
+
+Page anatomy (every element targets a specific pipeline gate):
+  <nav> link list               -> abandon conf≈0.49 (dropped by L12 filter)
+  skew pages (doc_id%47==0):    -> nav repeated 120x + one >2000-char sidebar
+                                   block (abandon conf 0.55: KEPT as a block,
+                                   excluded from text) + html 50-100x median
+                                   (the skewed-oversized-HTML population the
+                                   north rule requires salting for)
+  <p class="morelink">          -> link-density 1.0, non-ancestor: conf 0.39,
+                                   dropped at the decode conf gate (L6)
+  <h1>Doc {id}</h1>             -> title
+  <p> 8-word chunks of text     -> plain text; doc_id%3==1 pages are marked
+                                   two-column (meta tag) to exercise XY-cut
+  <footer>                      -> abandon, dropped
+
+Invariant: extracted_text == "Doc {doc_id} " + text, byte-identical —
+SQL-stateable as ``'Doc ' || doc_id || ' ' || text`` (the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import html as html_mod
+from collections.abc import Iterator
+
+import pandas as pd
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+_EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+CHUNK_WORDS = 8
+SKEW_MOD = 47  # doc_id % 47 == 0 -> oversized page
+TWOCOL_MOD = 3  # doc_id % 3 == 1 -> two-column layout
+
+
+def url_for(doc_id: int) -> str:
+    return f"https://example.org/doc/{doc_id:08d}"
+
+
+def chunk_text(text: str) -> list[str]:
+    words = text.split(" ")
+    return [" ".join(words[i : i + CHUNK_WORDS]) for i in range(0, len(words), CHUNK_WORDS)]
+
+
+def synth_page(doc_id: int, text: str, lang: str) -> dict:
+    """Build one page row. Deterministic in doc_id/text/lang alone."""
+    esc = html_mod.escape
+    two_col = doc_id % TWOCOL_MOD == 1
+    skew = doc_id % SKEW_MOD == 0
+    # skew pages: ~80x the median html size (north rule: "skewed oversized-
+    # HTML keys are salted and repartitioned explicitly")
+    nav_items = "".join(
+        f'<li><a href="/cat/{k}">section {k} link</a></li>'
+        for k in range(12 if not skew else 1200)
+    )
+    parts = [
+        "<html><head>",
+        f"<title>Doc {doc_id} - example.org</title>",
+        '<meta name="layout" content="two-column"/>' if two_col else "",
+        "</head><body>",
+        f"<nav><ul>{nav_items}</ul></nav>",
+    ]
+    if skew:
+        junk = " ".join(f"sponsored listing item {j} buy now limited offer" for j in range(1500))
+        parts.append(f'<div class="sidebar"><p>{junk}</p></div>')
+    parts.append('<p class="morelink"><a href="/more">read more stories here</a></p>')
+    parts.append(f"<h1>Doc {doc_id}</h1>")
+    for c in chunk_text(text):
+        parts.append(f"<p>{esc(c)}</p>")
+    parts.append(
+        f'<footer><p><a href="/about">about</a> <a href="/tos">terms</a> '
+        f"copyright {2020 + doc_id % 5} example org</p></footer>"
+    )
+    parts.append("</body></html>")
+    page_html = "".join(parts)
+    # crawler-provided noisy plain text: nav junk + body (NOT the golden output)
+    noisy = " ".join(["section link"] + [text] + ["about terms copyright"])
+    return {
+        "url": url_for(doc_id),
+        "warc_ts": _EPOCH + dt.timedelta(seconds=int(doc_id) % 31_536_000),
+        "html": page_html.encode("utf-8"),
+        "text": noisy,
+        "lang": lang,
+    }
+
+
+def _synth_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [
+            synth_page(int(d), t, lg)
+            for d, t, lg in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
+        ]
+        yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+
+def pages_from_documents(spark, sf_dir: str, copies: int = 1):
+    """documents parquet -> pages DataFrame (lazy, distributed).
+
+    ``copies`` > 1 replicates each doc under distinct doc_ids (bench-scale
+    amplification); every copy keeps the per-url invariant.
+    """
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
+    if copies > 1:
+        docs = docs.withColumn(
+            "c", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
+        ).select(
+            (F.col("doc_id") + F.col("c") * F.lit(10_000_000)).alias("doc_id"), "text", "lang"
+        )
+    return docs.mapInPandas(_synth_batch, schema=PAGES_SCHEMA)

@@ -1,0 +1,179 @@
+"""DOM boilerplate stripping: block segmentation + text/link-density scoring.
+
+North-rule capability (BASELINE.json north_star: "DOM-tree boilerplate
+stripping via text-density and link-density heuristics (readability/
+Arc90-style scoring)"). The reference has no HTML code — this is new,
+Spark-first design: a pure-python kernel (stdlib html.parser, no external
+deps) run per document inside an Arrow-batched pandas UDF.
+
+Classification maps each DOM block onto the DocStructBench label set
+(/root/reference/src/models/yolo/config.rs:23-34) so the downstream layout /
+abandon-filter path (docstructbench.rs:82-108 semantics) applies unchanged:
+navigation/footer/ad blocks become "abandon" candidates whose confidence is
+derived from link density; content blocks become "title"/"plain text"/
+"table"/"figure_caption".
+
+Determinism: pure function of the HTML bytes; all confidences computed in
+float32; whitespace normalized with str.split()/join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+import numpy as np
+
+# tags whose text forms one extractable block
+BLOCK_TAGS = frozenset(
+    {"p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "pre", "blockquote", "figcaption", "caption"}
+)
+# containers treated as a single block (all nested text merges)
+MERGE_CONTAINER_TAGS = frozenset({"table"})
+# ancestors that mark a block as boilerplate regardless of its own density
+BOILERPLATE_ANCESTOR_TAGS = frozenset({"nav", "footer", "header", "aside"})
+BOILERPLATE_CLASS_HINTS = frozenset({"sidebar", "ad", "ads", "banner", "menu", "promo", "related"})
+SKIP_CONTENT_TAGS = frozenset({"script", "style", "noscript", "template"})
+
+LINK_DENSITY_ABANDON = np.float32(0.5)
+
+
+@dataclass
+class Block:
+    tag: str  # block tag (p, h1, li, table, ...)
+    text: str = ""
+    link_chars: int = 0
+    boilerplate_ancestor: bool = False
+    _parts: list = field(default_factory=list)
+
+    @property
+    def n_chars(self) -> int:
+        return len(self.text)
+
+    @property
+    def link_density(self) -> float:
+        return float(np.float32(self.link_chars) / np.float32(max(self.n_chars, 1)))
+
+
+class _BlockParser(HTMLParser):
+    """Segment HTML into text blocks, tracking anchor text and boilerplate
+    ancestry. Never raises on malformed input (S3 semantics,
+    dataloader.rs:376-383: unreadable inputs degrade, they don't fail)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._open: list[Block] = []
+        self._bp_stack: list[str] = []  # open boilerplate-ancestor tags
+        self._skip_depth = 0  # script/style nesting
+        self._anchor_depth = 0
+        self._merge_depth = 0  # inside <table>
+
+    def _start_block(self, tag: str) -> None:
+        self._open.append(Block(tag=tag, boilerplate_ancestor=bool(self._bp_stack)))
+
+    def _end_block(self) -> None:
+        blk = self._open.pop()
+        blk.text = " ".join("".join(blk._parts).split())
+        if blk.text:
+            self.blocks.append(blk)
+
+    def handle_starttag(self, tag, attrs):
+        if tag in SKIP_CONTENT_TAGS:
+            self._skip_depth += 1
+            return
+        classes = set((dict(attrs).get("class") or "").lower().split())
+        if tag in BOILERPLATE_ANCESTOR_TAGS or (classes & BOILERPLATE_CLASS_HINTS):
+            self._bp_stack.append(tag)
+        if tag == "a":
+            self._anchor_depth += 1
+            return
+        if tag in MERGE_CONTAINER_TAGS:
+            self._merge_depth += 1
+            if self._merge_depth == 1:
+                self._start_block(tag)
+            return
+        if tag in BLOCK_TAGS and self._merge_depth == 0:
+            self._start_block(tag)
+
+    def handle_endtag(self, tag):
+        if tag in SKIP_CONTENT_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if tag == "a":
+            self._anchor_depth = max(0, self._anchor_depth - 1)
+            return
+        if tag in MERGE_CONTAINER_TAGS:
+            if self._merge_depth == 1 and self._open:
+                self._end_block()
+            self._merge_depth = max(0, self._merge_depth - 1)
+        elif tag in BLOCK_TAGS and self._merge_depth == 0:
+            if self._open and self._open[-1].tag == tag:
+                self._end_block()
+        if self._bp_stack and self._bp_stack[-1] == tag:
+            self._bp_stack.pop()
+
+    def handle_data(self, data):
+        if self._skip_depth or not self._open:
+            return
+        blk = self._open[-1]
+        blk._parts.append(data)
+        if self._anchor_depth > 0:
+            blk.link_chars += len(" ".join(data.split()))
+
+
+def parse_blocks(html: str) -> list[Block]:
+    """Parse HTML into ordered text blocks. Malformed HTML degrades to
+    whatever blocks were recoverable (never raises)."""
+    p = _BlockParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    while p._open:  # flush unclosed blocks (malformed html)
+        p._end_block()
+    return p.blocks
+
+
+def classify_block(blk: Block) -> tuple[str, float]:
+    """Map a DOM block to a DocStructBench class + deterministic confidence.
+
+    Confidence bands are engineered so every reference gate is exercised
+    (SURVEY.md §2.4 L5-L7, L12):
+      - boilerplate-ancestor blocks -> "abandon", conf in [0.41, 0.49] —
+        above the model conf threshold 0.4 (yolo/config.rs:27) but below the
+        abandon floor 0.50 (docstructbench.rs:88-91) -> filtered there;
+        unless the block is huge (>2000 chars) -> conf 0.55 -> kept as a
+        block but still excluded from text assembly (cls == 'abandon').
+      - high-link-density non-ancestor blocks -> "abandon", conf <= 0.39 —
+        below the model threshold -> dropped at decode (L6).
+      - content blocks -> conf in [0.60, 0.95].
+    """
+    ld = np.float32(min(blk.link_density, 1.0))
+    if blk.boilerplate_ancestor:
+        if blk.n_chars > 2000:
+            return "abandon", float(np.float32(0.55))
+        return "abandon", float(np.float32(0.41) + np.float32(0.08) * ld)
+    if ld > LINK_DENSITY_ABANDON:
+        return "abandon", float(np.float32(0.30) + np.float32(0.09) * ld)
+    if blk.tag == "h1":
+        return "title", float(np.float32(0.95))
+    if blk.tag in ("h2", "h3", "h4", "h5", "h6"):
+        return "title", float(np.float32(0.90))
+    if blk.tag == "table":
+        return "table", float(np.float32(0.85))
+    if blk.tag == "caption":
+        return "table_caption", float(np.float32(0.80))
+    if blk.tag == "figcaption":
+        return "figure_caption", float(np.float32(0.80))
+    size = np.float32(min(blk.n_chars, 280)) / np.float32(280)
+    return "plain text", float(np.float32(0.60) + np.float32(0.35) * size)
+
+
+# classes whose text participates in the extracted main content, in the
+# spirit of the reference's downstream mask consumer (docstructbench.rs:33):
+# abandon and pure-figure regions contribute no text.
+TEXTUAL_CLASSES = frozenset(
+    {"title", "plain text", "table", "table_caption", "table_footnote", "figure_caption"}
+)

@@ -1,0 +1,68 @@
+"""Greedy class-agnostic non-maximum suppression.
+
+Reference semantics: ``Y::nms`` /root/reference/src/xy/y.rs:92-114 —
+stable sort by confidence descending, then keep a box unless its IoU with
+any previously-kept box exceeds ``iou_threshold`` (strict ``>``). Kept boxes
+retain sort order. Per-image local — in Spark this runs inside the
+extraction pandas UDF, never as a shuffle.
+
+Implementation note: incremental candidate-vs-kept IoU (O(n*k) with small
+1-D temporaries) instead of a materialized n×n IoU matrix — large fresh
+allocations are far more expensive than the arithmetic for the box counts
+seen on oversized (skew) pages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def nms_indices(boxes: np.ndarray, confs: np.ndarray, iou_threshold: float) -> np.ndarray:
+    """Return indices (into the input) of kept boxes, in kept order.
+
+    Mirrors y.rs:92-114: sort conf desc (stable — ties keep input order,
+    matching Rust ``sort_by`` stability), drop when iou > threshold vs any
+    previously kept box.
+    """
+    boxes = np.asarray(boxes, dtype=np.float32)
+    confs = np.asarray(confs, dtype=np.float32)
+    n = len(confs)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.argsort(-confs, kind="stable")
+    b = boxes[order]
+    x1 = b[:, 0]
+    y1 = b[:, 1]
+    x2 = b[:, 0] + b[:, 2]
+    y2 = b[:, 1] + b[:, 3]
+    areas = b[:, 2] * b[:, 3]
+    thr = np.float32(iou_threshold)
+
+    # kept-box coordinate buffers, filled as boxes are accepted
+    kx1 = np.empty(n, dtype=np.float32)
+    ky1 = np.empty(n, dtype=np.float32)
+    kx2 = np.empty(n, dtype=np.float32)
+    ky2 = np.empty(n, dtype=np.float32)
+    karea = np.empty(n, dtype=np.float32)
+    kept: list[int] = []
+    k = 0
+    for i in range(n):
+        if k:
+            l = np.maximum(kx1[:k], x1[i])
+            r = np.minimum(kx2[:k], x2[i])
+            t = np.maximum(ky1[:k], y1[i])
+            bo = np.minimum(ky2[:k], y2[i])
+            inter = np.maximum(r - l, 0.0) * np.maximum(bo - t, 0.0)
+            uni = karea[:k] + areas[i] - inter
+            with np.errstate(divide="ignore", invalid="ignore"):
+                iou_k = np.where(uni > 0, inter / uni, 0.0)
+            if (iou_k > thr).any():
+                continue
+        kx1[k] = x1[i]
+        ky1[k] = y1[i]
+        kx2[k] = x2[i]
+        ky2[k] = y2[i]
+        karea[k] = areas[i]
+        kept.append(i)
+        k += 1
+    return order[np.asarray(kept, dtype=np.int64)]

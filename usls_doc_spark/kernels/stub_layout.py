@@ -1,0 +1,132 @@
+"""Deterministic layout "model": flow layout + raw YOLO-head emission.
+
+The reference's layout model is DocLayout-YOLO over rendered page rasters
+(/root/reference/src/models/yolo/impl.rs, preset yolo/config.rs:17-35). The
+image/ONNX libs are not in this container, so the model boundary is served by
+two implementations behind one interface (SURVEY.md §7 Stage 2):
+
+  * StubLayoutModel (here) — a pure function of the parsed DOM blocks: a
+    deterministic top-down flow layout (optionally 2-column) assigns each
+    block a page-coordinate bbox, then emits a raw detection head
+    ``[A, 4 + n_classes]`` (cxcywh in letterboxed-canvas coordinates + class
+    scores) exactly shaped like the YOLO output the decode kernels expect.
+    It also emits one duplicate anchor per block (identical box,
+    conf*0.9) so the NMS path (xy/y.rs:92-114) is exercised in production.
+  * OnnxLayoutModel (pipeline/layout.py) — real ONNXRuntime session from
+    broadcast bytes; gated behind an import-try (engine.rs:76-145 analogue).
+
+All geometry is integral and all float math float32, so the
+canvas->original un-letterbox roundtrip (error ~1e-3 px) recovers the exact
+integer layout after round-half-away — the byte-identical contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .boilerplate import Block, classify_block
+from .letterbox import LetterboxSpec, boxes_to_canvas, letterbox_spec
+from .yolo_decode import DOCSTRUCTBENCH_NAMES
+
+PAGE_W = 816
+MARGIN = 48
+CONTENT_W = PAGE_W - 2 * MARGIN  # 720
+COL_W = 344  # two-column mode: cols at x=48..392 and x=408..752 (16px gutter)
+COL2_X = MARGIN + COL_W + 16
+CHAR_W = 8
+LINE_H = 16
+BLOCK_GAP = 8
+CANVAS = 1024  # model input canvas (doclayout dyn 640-1024 opt 1024, yolo/config.rs:20-26)
+
+
+def _block_box(n_chars: int, x: int, y: int, width_avail: int) -> tuple[int, int, int, int]:
+    chars_per_line = max(1, width_avail // CHAR_W)
+    n = max(1, n_chars)
+    lines = (n + chars_per_line - 1) // chars_per_line
+    w = min(n, chars_per_line) * CHAR_W
+    h = lines * LINE_H
+    return x, y, w, h
+
+
+def flow_layout(
+    blocks: list[Block], classes: list[str], two_col: bool
+) -> tuple[np.ndarray, int, int]:
+    """Assign page-coordinate xywh boxes to blocks in document order.
+
+    Returns (boxes float32 [N,4], page_h, page_w). In two-column mode the
+    contiguous run of non-abandon, non-title body blocks is balanced into
+    two columns (first half left, second half right, both starting at the
+    same y) — the shape the XY-cut must re-linearize into document order.
+    """
+    n = len(blocks)
+    boxes = np.zeros((n, 4), dtype=np.float32)
+    body_idx = [i for i in range(n) if classes[i] not in ("abandon", "title")]
+    col_set = set(body_idx) if (two_col and len(body_idx) >= 2) else set()
+    n_left = (len(body_idx) + 1) // 2
+    left_set = set(body_idx[:n_left])
+
+    y = MARGIN
+    col_y = {0: 0, 1: 0}
+    col_started = False
+    for i, blk in enumerate(blocks):
+        if i in col_set:
+            if not col_started:
+                col_started = True
+                col_y[0] = col_y[1] = y
+            col = 0 if i in left_set else 1
+            cx = MARGIN if col == 0 else COL2_X
+            bx, by, bw, bh = _block_box(blk.n_chars, cx, col_y[col], COL_W)
+            col_y[col] = by + bh + BLOCK_GAP
+        else:
+            if col_started:  # resume full-width flow below both columns
+                y = max(col_y[0], col_y[1])
+                col_started = False
+                col_y = {0: 0, 1: 0}
+            bx, by, bw, bh = _block_box(blk.n_chars, MARGIN, y, CONTENT_W)
+            y = by + bh + BLOCK_GAP
+        boxes[i] = (bx, by, bw, bh)
+    if col_started:
+        y = max(col_y[0], col_y[1])
+    page_h = max(y - BLOCK_GAP + MARGIN, MARGIN * 2 + LINE_H)
+    return boxes, int(page_h), PAGE_W
+
+
+class StubLayoutModel:
+    """Deterministic raw-head emitter (the CI/fixture model)."""
+
+    names = DOCSTRUCTBENCH_NAMES
+
+    def infer(
+        self, blocks: list[Block], two_col: bool
+    ) -> tuple[np.ndarray, LetterboxSpec, list[str]]:
+        """Return (preds [A, 4+C] float32, letterbox spec, per-block classes).
+
+        Anchor rows 2*i and 2*i+1 belong to block i (dup for NMS exercise),
+        so ``anchor_id // 2`` recovers the block index downstream.
+        """
+        classes = []
+        confs = []
+        for blk in blocks:
+            c, conf = classify_block(blk)
+            classes.append(c)
+            confs.append(conf)
+        boxes, page_h, page_w = flow_layout(blocks, classes, two_col)
+        spec = letterbox_spec(page_h, page_w, CANVAS, CANVAS, center=False)
+        n = len(blocks)
+        n_cls = len(self.names)
+        preds = np.zeros((2 * n, 4 + n_cls), dtype=np.float32)
+        if n:
+            canvas_boxes = boxes_to_canvas(boxes, spec)
+            cx = canvas_boxes[:, 0] + canvas_boxes[:, 2] / np.float32(2.0)
+            cy = canvas_boxes[:, 1] + canvas_boxes[:, 3] / np.float32(2.0)
+            name_to_id = {nm: k for k, nm in enumerate(self.names)}
+            for i in range(n):
+                cid = name_to_id[classes[i]]
+                row = np.zeros(4 + n_cls, dtype=np.float32)
+                row[0:4] = (cx[i], cy[i], canvas_boxes[i, 2], canvas_boxes[i, 3])
+                row[4 + cid] = np.float32(confs[i])
+                preds[2 * i] = row
+                dup = row.copy()  # identical box (IoU 1.0) -> NMS must drop it
+                dup[4 + cid] = np.float32(confs[i]) * np.float32(0.9)
+                preds[2 * i + 1] = dup
+        return preds, spec, classes

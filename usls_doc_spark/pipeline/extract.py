@@ -1,0 +1,125 @@
+"""The flagship pipeline: pages -> layout regions -> reading order -> text.
+
+Spark-first re-expression of the reference's ``detect_documents``
+(/root/reference/src/docstructbench.rs:34-116) extended per the north rule:
+
+  scan(pages)                      # parquet/Iceberg scan; Catalyst prunes to
+                                   # (url, html) when only extraction is needed
+  -> mapInPandas(extract_batch)    # one Arrow batch per call: DOM parse,
+                                   # flow-layout model head, decode (L2-L7),
+                                   # abandon-filter + i32 round (L12),
+                                   # XY-cut reading order, span assembly
+  -> downstream DataFrame ops      # filters/aggregations/joins stay JVM-side
+
+Everything per-page is local to the UDF (no shuffle); the only cross-node
+boundaries are the scan and whatever aggregation the caller adds
+(SURVEY.md §3.1 "Boundaries").
+
+Failure semantics follow DataLoader::try_read (dataloader.rs:376-383): a
+corrupt row yields a null extraction + error column, never a job failure —
+and stays keyed by url (the reference's path↔image zip misalignment at
+docstructbench.rs:74 is a bug we do NOT replicate; SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..kernels.boilerplate import TEXTUAL_CLASSES, parse_blocks
+from ..kernels.stub_layout import StubLayoutModel
+from ..kernels.xycut import xycut_order
+from ..kernels.yolo_decode import abandon_filter_and_round, decode_preds
+
+# Output schema of the extraction stage (DDL string for mapInPandas)
+EXTRACT_SCHEMA = (
+    "url string, extracted_text string, n_blocks int, extracted_bytes bigint, "
+    "blocks array<struct<x:int,y:int,width:int,height:int,cls:string,conf:float,order:int>>, "
+    "error string"
+)
+
+SEP = " "  # span-assembly separator (STRING_AGG parity; SURVEY.md §2.8)
+
+
+def extract_page(html_bytes: bytes | None, url: str, model: StubLayoutModel) -> dict:
+    """Extract one page. Pure function of (html, url) — deterministic."""
+    try:
+        if html_bytes is None:
+            raise ValueError("null html")
+        html = bytes(html_bytes).decode("utf-8", errors="replace")
+        blocks = parse_blocks(html)
+        # two-column rendering is a property of the page, not the pipeline:
+        # the stub model reads it from a meta marker the generator embeds;
+        # real pages rasterize however they rasterize.
+        two_col = '<meta name="layout" content="two-column"' in html
+        preds, spec, _classes = model.infer(blocks, two_col)
+        decoded = decode_preds(preds, spec, names=model.names, confs=(0.4,), apply_nms=True)
+        kept = abandon_filter_and_round(decoded)
+        if kept:
+            boxes = np.asarray([[b["x"], b["y"], b["width"], b["height"]] for b in kept])
+            order = xycut_order(boxes)
+        else:
+            order = np.empty(0, dtype=np.int64)
+        out_blocks = []
+        texts = []
+        for rank, bi in enumerate(order):
+            b = kept[int(bi)]
+            block_idx = b["id_born"] // 2  # stub emits 2 anchors per block
+            out_blocks.append(
+                {
+                    "x": b["x"],
+                    "y": b["y"],
+                    "width": b["width"],
+                    "height": b["height"],
+                    "cls": b["cls"],
+                    "conf": np.float32(b["conf"]),
+                    "order": rank,
+                }
+            )
+            if b["cls"] in TEXTUAL_CLASSES and block_idx < len(blocks):
+                texts.append(blocks[block_idx].text)
+        extracted = SEP.join(texts)
+        return {
+            "url": url,
+            "extracted_text": extracted,
+            "n_blocks": len(out_blocks),
+            "extracted_bytes": len(extracted.encode("utf-8")),
+            "blocks": out_blocks,
+            "error": None,
+        }
+    except Exception as e:  # corrupt row -> null + error, never fail (S3)
+        return {
+            "url": url,
+            "extracted_text": None,
+            "n_blocks": 0,
+            "extracted_bytes": 0,
+            "blocks": [],
+            "error": f"{type(e).__name__}: {e}"[:500],
+        }
+
+
+def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body. The model is constructed once per task (the
+    broadcast-once / lazy-singleton pattern of engine.rs:76-145; the stub has
+    no weights, the ONNX variant caches its session at module level)."""
+    model = StubLayoutModel()
+    for pdf in batches:
+        rows = [
+            extract_page(h, u, model)
+            for h, u in zip(pdf["html"].to_numpy(), pdf["url"].to_numpy())
+        ]
+        yield pd.DataFrame(
+            rows,
+            columns=["url", "extracted_text", "n_blocks", "extracted_bytes", "blocks", "error"],
+        )
+
+
+def extract_pages(pages_df):
+    """pages DataFrame -> extraction DataFrame (lazy; no action triggered).
+
+    Selects only (url, html) first so the parquet scan prunes columns
+    (ReadSchema shows 2 of 5 columns — SURVEY.md §4 'free from Catalyst').
+    """
+    return pages_df.select("url", "html").mapInPandas(extract_batch, schema=EXTRACT_SCHEMA)
