@@ -33,11 +33,15 @@ from ..kernels.stub_layout import StubLayoutModel
 from ..kernels.xycut import xycut_order
 from ..kernels.yolo_decode import abandon_filter_and_round, decode_preds
 
-# Output schema of the extraction stage (DDL string for mapInPandas)
+# Output schema of the extraction stage (DDL string for mapInPandas).
+# elapsed_us is this row's share of its Arrow batch's processing time — the
+# per-stage profiling the reference keeps in its Ts accumulator
+# (src/misc/ts.rs:5-20,49-112), carried as data so per-partition lineage can
+# aggregate it without a second pass.
 EXTRACT_SCHEMA = (
     "url string, extracted_text string, n_blocks int, extracted_bytes bigint, "
     "blocks array<struct<x:int,y:int,width:int,height:int,cls:string,conf:float,order:int>>, "
-    "error string"
+    "error string, elapsed_us bigint"
 )
 
 SEP = " "  # span-assembly separator (STRING_AGG parity; SURVEY.md §2.8)
@@ -104,16 +108,22 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body. The model is constructed once per task (the
     broadcast-once / lazy-singleton pattern of engine.rs:76-145; the stub has
     no weights, the ONNX variant caches its session at module level)."""
+    import time
+
     model = StubLayoutModel()
     for pdf in batches:
+        t0 = time.monotonic_ns()
         rows = [
             extract_page(h, u, model)
             for h, u in zip(pdf["html"].to_numpy(), pdf["url"].to_numpy())
         ]
-        yield pd.DataFrame(
+        share = ((time.monotonic_ns() - t0) // 1000) // max(len(rows), 1)
+        out = pd.DataFrame(
             rows,
             columns=["url", "extracted_text", "n_blocks", "extracted_bytes", "blocks", "error"],
         )
+        out["elapsed_us"] = share
+        yield out
 
 
 def extract_pages(pages_df):
