@@ -1,0 +1,115 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...,
+   "input_mb_per_sec": ...}
+
+The extraction pipeline is the headline number (docs/sec + MB/sec per the
+north rule); the relational/dedup/similarity queries cover the rest of the
+operator inventory. Every query is forced end-to-end with the noop sink
+(full materialization, no collect-to-driver cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+COPIES = int(os.environ.get("SPARK_GRAFT_COPIES", "10"))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "top_customers_per_segment",
+    "orders_running_total",
+    "events_sessionize",
+    "events_tumbling_window",
+    "asof_join_purchases",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "fingerprint_simhash",
+    "lang_detect_stopwords",
+    "ann_topk_cosine",
+    "ann_lsh_buckets",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("usls_doc_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from usls_doc_spark.io.synth import pages_from_documents
+    from usls_doc_spark.pipeline.extract import extract_pages
+    from usls_doc_spark.queries import build_registry
+
+    queries, _ = build_registry()
+    timings: dict[str, float] = {}
+
+    def noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # --- headline: extraction throughput --------------------------------
+    pages = pages_from_documents(spark, SF_DIR, copies=COPIES, n_partitions=CPUS * 4)
+    pages.persist()
+    stats = pages.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.octet_length("html")).alias("b")
+    ).collect()[0]
+    n_docs, html_bytes = stats["n"], stats["b"]
+    t0 = time.monotonic()
+    noop(extract_pages(pages))
+    t_extract = time.monotonic() - t0
+    timings["extraction_pipeline"] = round(t_extract, 3)
+    pages.unpersist()
+
+    # --- operator suite ---------------------------------------------------
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        noop(queries[name](spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (extraction + operator queries)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cpus": CPUS,
+                "extraction_docs": int(n_docs),
+                "extraction_html_mb": round(html_bytes / 1e6, 1),
+                "docs_per_sec": round(n_docs / t_extract, 1),
+                "input_mb_per_sec": round(html_bytes / 1e6 / t_extract, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -101,11 +101,13 @@ def _synth_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
 
-def pages_from_documents(spark, sf_dir: str, copies: int = 1):
+def pages_from_documents(spark, sf_dir: str, copies: int = 1, n_partitions: int | None = None):
     """documents parquet -> pages DataFrame (lazy, distributed).
 
     ``copies`` > 1 replicates each doc under distinct doc_ids (bench-scale
-    amplification); every copy keeps the per-url invariant.
+    amplification); every copy keeps the per-url invariant. The source is
+    hash-repartitioned on doc_id BEFORE the synth UDF so a single small
+    parquet file (1 split) doesn't serialize page generation.
     """
     from pyspark.sql import functions as F
 
@@ -116,4 +118,5 @@ def pages_from_documents(spark, sf_dir: str, copies: int = 1):
         ).select(
             (F.col("doc_id") + F.col("c") * F.lit(10_000_000)).alias("doc_id"), "text", "lang"
         )
-    return docs.mapInPandas(_synth_batch, schema=PAGES_SCHEMA)
+    nparts = n_partitions or spark.sparkContext.defaultParallelism * 2
+    return docs.repartition(nparts, "doc_id").mapInPandas(_synth_batch, schema=PAGES_SCHEMA)

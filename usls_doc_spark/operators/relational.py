@@ -1,0 +1,361 @@
+"""Relational query suite over the TPC-H-ish tables + events stream table.
+
+Spark side is DataFrame API (Catalyst plans: pushdown, broadcast joins,
+partial aggregation); each query's DuckDB oracle SQL is defined alongside.
+Float discipline (SURVEY.md §7): money/quantity aggregates go through
+exact DECIMAL arithmetic and are cast to DOUBLE only at the end; averages
+are exact-decimal sums divided as doubles — identical IEEE results in both
+engines, no rounding fudge needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+CUTOFF = "1998-09-02 00:00:00"
+Q3_DATE = "1998-03-15 00:00:00"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, prec=14, scale=2):
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+# --- TPC-H Q1: pricing summary (scan -> partial+final hash agg, no join) ---
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
+    charge = disc_price * (one + _dec("l_tax", 4, 2))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity", 12, 2)).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity", 12, 2)).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(_dec("l_discount", 4, 2)).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- TPC-H Q3-ish: top orders by revenue (broadcast dim join) --------------
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2)))
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+Q3_ORACLE = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --- TPC-H Q5-ish: regional revenue (5-way join, broadcast dims) ------------
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2)))
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+    )
+
+
+Q5_ORACLE = """
+SELECT n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# --- window: top-3 customers per market segment -----------------------------
+def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_dec("o_totalprice", 16, 2)).alias("spend_dec"), F.count("*").alias("n_orders"))
+    )
+    joined = cust.join(spend, cust.c_custkey == spend.o_custkey, "inner")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("spend_dec"), F.asc("c_custkey")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "c_mktsegment",
+            "rank",
+            "c_custkey",
+            F.col("spend_dec").cast("double").alias("total_spend"),
+            "n_orders",
+        )
+    )
+
+
+TOP_CUST_ORACLE = """
+SELECT c_mktsegment, rank, c_custkey, CAST(spend_dec AS DOUBLE) AS total_spend, n_orders
+FROM (
+  SELECT c_mktsegment, c_custkey, spend_dec, n_orders,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY spend_dec DESC, c_custkey) AS rank
+  FROM (
+    SELECT c_mktsegment, c_custkey,
+           sum(CAST(o_totalprice AS DECIMAL(16,2))) AS spend_dec,
+           count(*) AS n_orders
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment, c_custkey
+  ) s
+) r WHERE rank <= 3
+"""
+
+
+# --- window: per-customer running order total -------------------------------
+def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_dec("o_totalprice", 16, 2)).over(w).cast("double").alias("running_total"),
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("order_seq"),
+    )
+
+
+RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(16,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+"""
+
+
+# --- sessionization (shared ANSI SQL: lag + gap>30min + running sum) ---------
+SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+  FROM e
+),
+g AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM f
+)
+SELECT user_id,
+       count(DISTINCT session_id) AS n_sessions,
+       count(*) AS n_events,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM g GROUP BY user_id
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(SESSIONIZE_SQL)
+
+
+# --- tumbling window aggregation (the batch analogue of the streaming op) ----
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "6 hours").getField("start").alias("win_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value", 14, 2)).cast("double").alias("total_value"),
+        )
+    )
+
+
+EVENTS_TUMBLING_ORACLE = """
+SELECT to_timestamp(floor(epoch(ts) / 21600) * 21600)::TIMESTAMP AS win_start,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- pivot: per-user event-type counts ---------------------------------------
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).agg(F.count(F.lit(1)))
+    out = out.na.fill(0, EVENT_TYPES)
+    for t in EVENT_TYPES:
+        out = out.withColumnRenamed(t, f"n_{t}")
+    return out
+
+
+EVENTS_PIVOT_ORACLE = """
+SELECT user_id,
+  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+  count(*) FILTER (WHERE event_type = 'view') AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+# --- rollup via GROUPING SETS (shared SQL) ------------------------------------
+ROLLUP_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       coalesce(event_type, 'ALL') AS event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((date_trunc('day', ts)), (date_trunc('day', ts), event_type))
+"""
+
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(ROLLUP_SQL)
+
+
+# --- as-of join: latest order at or before each purchase event ---------------
+def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    j = ev.join(
+        F.broadcast(orders),
+        (ev.user_id == orders.o_custkey) & (orders.o_orderdate <= ev.ts),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.col("o_orderdate").alias("asof_orderdate"),
+        )
+    )
+
+
+ASOF_ORACLE = """
+SELECT event_id, user_id, ts, asof_orderkey, asof_orderdate
+FROM (
+  SELECT e.event_id, e.user_id, e.ts,
+         o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey) AS rn
+  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') e
+  LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+) x WHERE rn = 1
+"""
+
+
+RELATIONAL_QUERIES = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
+    "q3_top_orders": (q3_top_orders, Q3_ORACLE),
+    "q5_region_revenue": (q5_region_revenue, Q5_ORACLE),
+    "top_customers_per_segment": (top_customers_per_segment, TOP_CUST_ORACLE),
+    "orders_running_total": (orders_running_total, RUNNING_ORACLE),
+    "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
+    "events_tumbling_window": (events_tumbling, EVENTS_TUMBLING_ORACLE),
+    "events_pivot": (events_pivot, EVENTS_PIVOT_ORACLE),
+    "events_rollup": (events_rollup, ROLLUP_SQL),
+    "asof_join_purchases": (asof_join_purchases, ASOF_ORACLE),
+}

@@ -1,0 +1,239 @@
+"""Text-analysis, deduplication and similarity queries over the `documents`
+and `embeddings` tables — the training-data-pipeline operator suite.
+
+Each query is ONE template rendered into both Spark SQL (executed
+distributed through Catalyst) and DuckDB SQL (the driver's oracle), so the
+correctness gate checks the exact semantics the Spark plan runs. All float
+outputs are either exact integer/string values or doubles produced by
+identical, explicitly-ordered IEEE expression trees (operators/dialect.py).
+
+Scale notes per query are in the docstrings/comments: these run over a
+single table scan with one shuffle for the group/join stage; the pair-
+producing queries bound their output (LIMIT with total ordering) and join
+on high-selectivity keys (band key / shingle), never cross-joining the
+corpus.
+"""
+
+from __future__ import annotations
+
+from .dialect import DUCK, SPARK, Dialect
+
+# word-list language ID: exact word matching (no regex-escape dialect drift)
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "mit", "ein", "nicht", "auf", "zu"),
+    "es": ("el", "la", "que", "y", "en", "un", "por", "con", "para", "los"),
+    "fr": ("le", "les", "et", "un", "pour", "que", "dans", "sur", "au", "ce"),
+    "it": ("il", "di", "che", "e", "un", "per", "con", "non", "si", "da"),
+}
+
+
+def _words(d: Dialect) -> str:
+    return d.split("text")
+
+
+def q_text_stats(d: Dialect) -> str:
+    """Token/char statistics per document (exact ints + one exact division)."""
+    w = _words(d)
+    return f"""
+SELECT doc_id,
+       {d.array_len(w)} AS n_words,
+       length(text) AS n_chars,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE) / {d.array_len(w)} AS avg_word_len,
+       {d.regexp_count("text", "'[a-z]+'")} AS n_alpha_tokens,
+       {d.regexp_count("text", "'[0-9]+'")} AS n_num_tokens
+FROM documents
+"""
+
+
+def q_token_count_bpe(d: Dialect) -> str:
+    """BPE-ish subword count: greedy <=4-char alpha pieces + digits."""
+    pieces = d.regexp_count("text", "'[a-z]{1,4}|[0-9]'")
+    tokens = d.regexp_count("text", "'[a-z]+|[0-9]+'")
+    return f"""
+SELECT doc_id,
+       {pieces} AS n_pieces,
+       {tokens} AS n_tokens
+FROM documents
+"""
+
+
+def q_lang_detect(d: Dialect) -> str:
+    """Stopword-list language ID with deterministic priority tie-break."""
+    w = _words(d)
+    hits = {
+        lang: d.array_filter_count(
+            "ws", "x", "x IN (" + ", ".join(f"'{t}'" for t in toks) + ")"
+        )
+        for lang, toks in STOPWORDS.items()
+    }
+    langs = list(STOPWORDS)
+    case = "CASE "
+    for i, lang in enumerate(langs):
+        geq = " AND ".join(f"s_{lang} >= s_{o}" for o in langs[i + 1 :]) or "TRUE"
+        case += f"WHEN {geq} THEN '{lang}' "
+    case += "END"
+    inner = ", ".join(f"{hits[lang]} AS s_{lang}" for lang in langs)
+    return f"""
+SELECT doc_id, lang AS labeled_lang, {case} AS predicted_lang,
+       s_en, s_de, s_es, s_fr, s_it
+FROM (SELECT doc_id, lang, {inner} FROM (SELECT doc_id, lang, {w} AS ws FROM documents))
+"""
+
+
+def q_quality_score(d: Dialect) -> str:
+    """Arc90-flavored quality scoring columns (all exact-order doubles)."""
+    w = _words(d)
+    en = ", ".join(f"'{t}'" for t in STOPWORDS["en"])
+    return f"""
+SELECT doc_id,
+       CAST({d.array_filter_count("ws", "x", f"x IN ({en})")} AS DOUBLE) / {d.array_len("ws")} AS stopword_ratio,
+       CAST({d.array_filter_count("ws", "x", "length(x) > 7")} AS DOUBLE) / {d.array_len("ws")} AS long_word_ratio,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE) / {d.array_len("ws")} AS mean_word_len,
+       CASE WHEN {d.array_len("ws")} >= 20
+             AND CAST({d.array_filter_count("ws", "x", f"x IN ({en})")} AS DOUBLE) / {d.array_len("ws")} >= 0.02
+            THEN 1 ELSE 0 END AS quality_keep
+FROM (SELECT doc_id, text, {w} AS ws FROM documents)
+"""
+
+
+def q_fingerprint_simhash(d: Dialect) -> str:
+    """Document fingerprints: md5 of text + 16-bit SimHash over word hashes.
+
+    SimHash: per bit b, sum +/-1 over (hash32(word) >> b) & 1; bit set when
+    the sum is positive. Integer arithmetic — exact in both engines.
+    """
+    w = _words(d)
+    whs = d.array_transform("ws", "x", d.hash32("x"))
+    bit_terms = []
+    for b in range(16):
+        signed = d.array_transform(
+            "whs", "h", f"CASE WHEN ({d.shiftright('h', b)}) & 1 = 1 THEN 1 ELSE -1 END"
+        )
+        bit_terms.append(
+            f"(CASE WHEN {d.array_sum_bigint(signed)} > 0 THEN {1 << b} ELSE 0 END)"
+        )
+    simhash = " + ".join(bit_terms)
+    return f"""
+SELECT doc_id, {d.md5("text")} AS content_md5, {simhash} AS simhash16
+FROM (SELECT doc_id, text, {whs} AS whs FROM (SELECT doc_id, text, {w} AS ws FROM documents))
+"""
+
+
+def _slice(d: Dialect, a: str, start: int, n: int) -> str:
+    if d.name == "spark":
+        return f"slice({a}, {start}, {n})"
+    return f"({a})[{start}:{start + n - 1}]"
+
+
+def q_dedup_exact(d: Dialect) -> str:
+    """Exact dedup on a normalized key (first 3 words): canonical id + count.
+
+    Spark plan: one scan -> partial/final hash aggregate (map-side combine);
+    no join. The HAVING keeps only real duplicate groups.
+    """
+    w = _words(d)
+    key = d.md5(d.array_join(_slice(d, "ws", 1, 3)))
+    return f"""
+SELECT {key} AS dup_key,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_members
+FROM (SELECT doc_id, {w} AS ws FROM documents)
+GROUP BY {key}
+HAVING count(*) > 1
+"""
+
+
+def build_minhash_lsh_pairs(d: Dialect) -> str:
+    """MinHash+LSH near-dup candidates: 3-word shingles -> 8 md5 minhashes ->
+    8 single-row bands -> band-key equi-join -> candidate pairs.
+
+    Spark plan: scan -> project signatures (no shuffle) -> explode 8 band
+    rows -> shuffle on band key (high selectivity) -> pair aggregate. This
+    is the LSH shape that scales: the corpus is never cross-joined.
+    """
+    w = _words(d)
+    sh = d.shingles("ws", 3)
+    mh_cols = ", ".join(
+        d.array_min(d.array_transform("sh", "s", d.md5(f"'{j}:' || s"))) + f" AS mh{j}"
+        for j in range(8)
+    )
+    mh_array = "array(" + ", ".join(f"mh{j}" for j in range(8)) + ")"
+    if d.name == "spark":
+        # posexplode of the signature array: sigs evaluated ONCE per doc
+        # (a UNION ALL of 8 selects would inline the CTE and recompute the
+        # md5 minhashes 8x — Catalyst does not materialize CTEs)
+        bands = (
+            f"SELECT doc_id, band, band_key FROM sigs "
+            f"LATERAL VIEW posexplode({mh_array}) t AS band, band_key"
+        )
+    else:
+        bands = "\nUNION ALL\n".join(
+            f"SELECT doc_id, {j} AS band, mh{j} AS band_key FROM sigs" for j in range(8)
+        )
+    return f"""
+WITH sigs AS (
+  SELECT doc_id, {mh_cols}
+  FROM (SELECT doc_id, {sh} AS sh FROM (SELECT doc_id, {w} AS ws FROM documents))
+),
+bands AS ({bands})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+def q_ngram_jaccard_top(d: Dialect) -> str:
+    """Top-20 most shingle-similar doc pairs (n-gram Jaccard), computed via
+    inverted-index join on shingle (never a cross join), totally ordered.
+    """
+    w = _words(d)
+    sh = d.array_distinct(d.shingles("ws", 3))
+    if d.name == "spark":
+        exploded = "SELECT doc_id, n_sh, s FROM ds LATERAL VIEW explode(sh) AS s"
+    else:
+        exploded = "SELECT doc_id, n_sh, s FROM ds, unnest(sh) AS t_s(s)"
+    return f"""
+WITH ds AS (
+  SELECT doc_id, sh, {d.array_len("sh")} AS n_sh
+  FROM (SELECT doc_id, {sh} AS sh FROM (SELECT doc_id, {w} AS ws FROM documents))
+),
+ex AS ({exploded}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS shared,
+         min(a.n_sh) AS na, min(b.n_sh) AS nb
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, shared,
+       CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+FROM pairs
+ORDER BY CAST(shared AS DOUBLE) / (na + nb - shared) DESC, doc_a, doc_b
+LIMIT 20
+"""
+
+
+TEXT_QUERIES = {
+    "text_stats": q_text_stats,
+    "token_count_bpe": q_token_count_bpe,
+    "lang_detect_stopwords": q_lang_detect,
+    "quality_score": q_quality_score,
+    "fingerprint_simhash": q_fingerprint_simhash,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": build_minhash_lsh_pairs,
+    "dedup_ngram_jaccard": q_ngram_jaccard_top,
+}
+
+
+def render(name: str, dialect: Dialect) -> str:
+    return TEXT_QUERIES[name](dialect)
+
+
+def render_spark(name: str) -> str:
+    return render(name, SPARK)
+
+
+def render_duck(name: str) -> str:
+    return render(name, DUCK)

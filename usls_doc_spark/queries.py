@@ -1,0 +1,154 @@
+"""Central query registry: every operator exposed through the driver
+contract (__spark_entry__.py) with its DuckDB oracle where SQL-expressible.
+
+Query families:
+  * extraction   — the flagship UDF pipeline over synthesized pages, whose
+                   per-url outputs are INDEPENDENTLY stated in SQL over the
+                   source `documents` table (the generator's invariants:
+                   FIXTURES.md / io/synth.py docstring).
+  * relational   — TPC-H-style joins/aggregates/windows (operators/relational).
+  * text/dedup   — single-template two-dialect renderings (operators/text_queries).
+  * similarity   — embedding search (operators/similarity).
+  * streaming    — Structured Streaming window agg (streaming/events).
+  * multimodal   — binary-column stub-decode plumbing (rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .io.synth import CHUNK_WORDS, SKEW_MOD, pages_from_documents
+from .operators import relational
+from .operators.dialect import DUCK, SPARK
+from .operators.multimodal import multimodal_features
+from .operators.similarity import SIMILARITY_QUERIES
+from .operators.text_queries import TEXT_QUERIES
+from .pipeline.extract import extract_pages
+from .streaming.events import STREAMING_ORACLE, streaming_events_window
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+# --------------------------------------------------------------------------
+# extraction family
+# --------------------------------------------------------------------------
+
+def extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline: synth pages -> DOM parse -> layout decode -> abandon
+    filter -> XY-cut -> span assembly. Oracle states the generator invariant
+    extracted_text == 'Doc {doc_id} ' + text (io/synth.py)."""
+    pages = pages_from_documents(spark, sf_dir)
+    return extract_pages(pages).select("url", "extracted_text")
+
+
+EXTRACT_TEXT_ORACLE = """
+SELECT 'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text AS extracted_text
+FROM documents
+"""
+
+
+def extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(spark, sf_dir)
+    return extract_pages(pages).select("url", "n_blocks", "extracted_bytes")
+
+
+EXTRACT_METRICS_ORACLE = f"""
+SELECT 'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+       CAST(1 + ceil(len(string_split(text, ' ')) / {CHUNK_WORDS}.0)
+              + (CASE WHEN doc_id % {SKEW_MOD} = 0 THEN 1 ELSE 0 END) AS INT) AS n_blocks,
+       length('Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text) AS extracted_bytes
+FROM documents
+"""
+
+
+def extract_block_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide layout-class histogram: explode detected blocks."""
+    from pyspark.sql import functions as F
+
+    pages = pages_from_documents(spark, sf_dir)
+    ext = extract_pages(pages)
+    return (
+        ext.select(F.explode("blocks").alias("b"))
+        .groupBy(F.col("b.cls").alias("cls"))
+        .agg(F.count(F.lit(1)).alias("n_blocks"))
+    )
+
+
+EXTRACT_BLOCK_HIST_ORACLE = f"""
+WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents)
+SELECT 'title' AS cls, count(*) AS n_blocks FROM d
+UNION ALL
+SELECT 'plain text' AS cls, CAST(sum(ceil(n_words / {CHUNK_WORDS}.0)) AS BIGINT) AS n_blocks FROM d
+UNION ALL
+SELECT 'abandon' AS cls, count(*) AS n_blocks FROM d WHERE doc_id % {SKEW_MOD} = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register_views(spark, sf_dir)
+        return spark.sql(TEXT_QUERIES[name](SPARK))
+
+    run.__name__ = name
+    return run
+
+
+def _sim_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register_views(spark, sf_dir)
+        return spark.sql(SIMILARITY_QUERIES[name](SPARK))
+
+    run.__name__ = name
+    return run
+
+
+def build_registry() -> tuple[dict, dict]:
+    """Returns (queries, oracles) for the driver contract."""
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+
+    # extraction
+    queries["extract_text"] = extract_text
+    oracles["extract_text"] = EXTRACT_TEXT_ORACLE
+    queries["extract_metrics"] = extract_metrics
+    oracles["extract_metrics"] = EXTRACT_METRICS_ORACLE
+    queries["extract_block_hist"] = extract_block_hist
+    oracles["extract_block_hist"] = EXTRACT_BLOCK_HIST_ORACLE
+
+    # relational
+    for name, (fn, oracle) in relational.RELATIONAL_QUERIES.items():
+        queries[name] = fn
+        oracles[name] = oracle
+
+    # text / dedup (two-dialect templates)
+    for name, tmpl in TEXT_QUERIES.items():
+        queries[name] = _sql_query(name)
+        oracles[name] = tmpl(DUCK)
+
+    # similarity
+    for name, tmpl in SIMILARITY_QUERIES.items():
+        queries[name] = _sim_query(name)
+        oracles[name] = tmpl(DUCK)
+
+    # streaming (oracle = the batch-equivalent SQL)
+    queries["streaming_events_window"] = streaming_events_window
+    oracles["streaming_events_window"] = STREAMING_ORACLE
+
+    # multimodal: rows-only (UDF decode path has no SQL analogue)
+    queries["multimodal_features"] = multimodal_features
+
+    return queries, oracles
