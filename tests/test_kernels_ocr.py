@@ -1,0 +1,155 @@
+"""OCR kernel tests: DB polygon pipeline (D1-D7) + decoders (R1, R3)."""
+
+import numpy as np
+
+from usls_doc_spark.kernels.ocr import (
+    binarize_prob_map,
+    convex_hull,
+    ctc_greedy_decode,
+    db_postprocess,
+    find_outer_contours,
+    greedy_generate,
+    polygon_area,
+    polygon_perimeter,
+    resample,
+    unclip,
+    verify,
+)
+
+
+def test_binarize_thresholds():
+    pm = np.array([[0.0, 0.2, 0.21, 0.9]], dtype=np.float32)
+    out = binarize_prob_map(pm)
+    # x <= 0.2 -> 0; else x*255 truncated to u8 (db/impl.rs:98-104)
+    assert out.tolist() == [[0, 0, int(0.21 * 255), int(0.9 * 255)]]
+
+
+def test_contours_rectangle():
+    mask = np.zeros((10, 12), dtype=np.uint8)
+    mask[2:7, 3:9] = 255
+    cs = find_outer_contours(mask)
+    assert len(cs) == 1
+    c = cs[0]
+    assert c[:, 0].min() == 3 and c[:, 0].max() == 8
+    assert c[:, 1].min() == 2 and c[:, 1].max() == 6
+    # boundary of a 6x5 rect has 2*(6+5)-4 = 18 pixels
+    assert len(c) == 18
+    # shoelace area of the pixel-boundary polygon is (w-1)*(h-1)
+    assert polygon_area(c) == 5 * 4
+    assert polygon_perimeter(c) == 2 * (5 + 4)
+
+
+def test_contours_two_components():
+    mask = np.zeros((8, 8), dtype=np.uint8)
+    mask[1:3, 1:3] = 1
+    mask[5:7, 5:7] = 1
+    assert len(find_outer_contours(mask)) == 2
+
+
+def test_unclip_square_expands():
+    # counter-clockwise in image coords (y down) — the tracer's output order
+    sq = np.array([[2, 2], [2, 6], [6, 6], [6, 2]], dtype=np.float64)
+    out = unclip(sq, delta=1.0, width=100, height=100)
+    # each corner normal is the prev->next diagonal's perpendicular, unit
+    # length, so corners move out by 1/sqrt(2) per axis
+    d = 1.0 / np.sqrt(2.0)
+    exp = np.array([[2 - d, 2 - d], [2 - d, 6 + d], [6 + d, 6 + d], [6 + d, 2 - d]])
+    assert np.allclose(out, exp)
+    # clamping to the image bounds
+    out2 = unclip(sq, delta=10.0, width=7.0, height=7.0)
+    assert out2.min() >= 0.0 and out2.max() <= 7.0
+
+
+def test_resample_counts():
+    tri = np.array([[0, 0], [10, 0], [0, 10]], dtype=np.float64)
+    out = resample(tri, num_samples=4)
+    assert len(out) == 3 * 4  # per edge: start + 3 interpolated
+    assert np.allclose(out[1], [2.5, 0.0])
+
+
+def test_convex_hull_and_verify():
+    pts = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [2, 2], [1, 1]], dtype=np.float64)
+    hull = convex_hull(pts)
+    assert len(hull) == 4
+    assert polygon_area(hull) == 16.0
+    # verify dedups on int-cast coords, keeping first occurrence
+    noisy = np.array([[0.2, 0.3], [0.4, 0.9], [3.0, 3.0], [0.0, 0.0]], dtype=np.float64)
+    v = verify(noisy)
+    assert [(int(x), int(y)) for x, y in v] == [(0, 0), (3, 3)]
+    # trailing point equal to first (int-cast) is dropped
+    closed = np.array([[1.0, 1.0], [5.0, 1.0], [5.0, 5.0], [1.2, 1.4]], dtype=np.float64)
+    assert len(verify(closed)) == 3
+
+
+def test_db_postprocess_end_to_end():
+    pm = np.zeros((48, 120), dtype=np.float32)
+    pm[8:40, 8:104] = 0.9
+    regions = db_postprocess(pm, ratio=1.0)
+    assert len(regions) == 1
+    r = regions[0]
+    x1, y1, x2, y2 = r["bbox"]
+    # unclip expands the (95 x 31)-pixel-boundary rect by delta on each side
+    delta = (95 * 31) * 1.5 / (2 * (95 + 31))
+    assert abs((8 - delta) - x1) < 1.0 or x1 == 0.0
+    assert x2 > 103 and y2 > 39
+    assert r["conf"] > 0.9  # near-rectangular polygon
+    # min-size filter: a sliver region is dropped
+    pm2 = np.zeros((20, 20), dtype=np.float32)
+    pm2[5:8, 5:18] = 0.9  # 3px tall < MIN_HEIGHT=12 even after unclip?
+    regs2 = db_postprocess(pm2, ratio=1.0)
+    for rr in regs2:
+        assert (rr["bbox"][3] - rr["bbox"][1]) >= 12
+
+
+def test_hull_resample_identity():
+    # the hot path skips resample because hull(resample(X)) is geometrically
+    # hull(X): interpolated points are convex combinations of edge endpoints
+    # (float rounding can leave epsilon-on-edge vertices, so the identity is
+    # area/bbox equality, which is all the pipeline outputs depend on)
+    pts = np.array([[3, 2], [9, 1], [14, 7], [8, 13], [2, 9]], dtype=np.float64)
+    h1 = convex_hull(pts)
+    h2 = convex_hull(resample(pts, 50))
+    assert abs(polygon_area(h1) - polygon_area(h2)) < 1e-9
+    assert np.allclose(h1.min(axis=0), h2.min(axis=0))
+    assert np.allclose(h1.max(axis=0), h2.max(axis=0))
+
+
+def test_ctc_greedy_decode_reference_semantics():
+    vocab = ["<blank>", "a", "b", "c"]
+    # timesteps: a, a (repeat NOT collapsed), blank (dropped), low-conf b, c
+    logits = np.array(
+        [
+            [0.0, 0.9, 0.0, 0.0],
+            [0.0, 0.9, 0.0, 0.0],
+            [0.9, 0.0, 0.0, 0.0],
+            [0.0, 0.0, 0.1, 0.0],  # conf 0.1 < 0.2 -> dropped
+            [0.0, 0.0, 0.0, 0.8],
+        ],
+        dtype=np.float32,
+    )
+    assert ctc_greedy_decode(logits, vocab) == "aac"
+    # max_length truncation
+    assert ctc_greedy_decode(logits, vocab, max_length=2) == "aa"
+
+
+def test_greedy_generate_eos_and_refeed():
+    # fake decoder: emits token 3, then 4, then EOS(2); asserts re-feed grows
+    seen_lens = []
+
+    def step(ids):
+        seen_lens.append(len(ids))
+        nxt = {1: 3, 3: 4, 4: 2}[ids[-1]]
+        out = np.zeros((len(ids), 5), dtype=np.float32)
+        out[-1, nxt] = 1.0
+        return out
+
+    assert greedy_generate(step) == [3, 4]
+    assert seen_lens == [1, 2, 3]
+    # max_steps bound
+
+    def forever(ids):
+        out = np.zeros((len(ids), 5), dtype=np.float32)
+        out[-1, 3] = 1.0
+        return out
+
+    assert len(greedy_generate(forever, max_steps=7)) == 7

@@ -1,0 +1,313 @@
+"""OCR-path kernels: DB text-detection postprocess + SVTR/TrOCR decoding.
+
+The reference's OCR half does not compile (SURVEY.md §0) but its intended
+semantics are fully legible and are part of the spec:
+
+  D1 binarize:   x <= binary_thresh (0.2) -> 0 else x*255 u8
+                 (/root/reference/src/models/db/impl.rs:95-106)
+  D3 contours:   find_contours_with_threshold(mask, 1); drop holes <= 2 pts
+                 (db/impl.rs:121-131) — re-implemented as Moore-neighbor
+                 boundary tracing over 4-connected components (numpy only)
+  D4 unclip:     per-vertex normal offset, delta = area * round(ratio) *
+                 unclip_ratio(1.5) / perimeter, clamped to the image
+                 (db/impl.rs:136-144; kernel /root/reference/src/xy/polygon.rs:151-187)
+  D5 resample:   densify each edge with num_samples-1 interpolated points
+                 (polygon.rs:131-149); convex hull; verify = dedup on
+                 int-cast coords incl. trailing-first cleanup (polygon.rs:189-211)
+  D6 filters:    drop if bbox h < 12 or w < 5 (db/config.rs:16-17);
+                 conf = polygon_area / bbox_area, threshold 0.35 (db/config.rs:15)
+  R1 SVTR:       per-timestep argmax over vocab, truncate to max_length,
+                 drop blank id 0 and conf < thresh (0.2), join vocab chars —
+                 note: NO repeat-collapse, faithfully mirroring
+                 /root/reference/src/models/svtr/impl.rs:73-97
+  R3 TrOCR:      greedy autoregressive loop: start token 1, EOS 2, max 50
+                 steps, argmax of last-position logits, concat re-feed
+                 (/root/reference/src/models/trocr/impl.rs:51-140)
+  R5 sampler:    argmax only (determinism; the reference's top-p path uses
+                 RNG and is intentionally not replicated —
+                 /root/reference/src/misc/logits_sampler.rs:34-93)
+
+All per-region local: runs inside the extraction/OCR pandas UDF.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+
+BINARY_THRESH = np.float32(0.2)  # options.rs:192 default
+UNCLIP_RATIO = 1.5  # db unclip_ratio default
+MIN_HEIGHT = 12.0  # db/config.rs:16
+MIN_WIDTH = 5.0  # db/config.rs:17
+CONF_THRESH = np.float32(0.35)  # db/config.rs:15
+
+
+def binarize_prob_map(prob_map: np.ndarray, thresh: float = BINARY_THRESH) -> np.ndarray:
+    """D1: probability map -> u8 mask."""
+    pm = np.asarray(prob_map, dtype=np.float32)
+    return np.where(pm <= np.float32(thresh), 0, (pm * 255.0).astype(np.uint8)).astype(np.uint8)
+
+
+# 8-neighborhood in clockwise order starting East
+_MOORE = [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1)]
+# indexed as (dy, dx); order: N, NE, E, SE, S, SW, W, NW
+
+
+def _trace_boundary(fg: np.ndarray, start: tuple[int, int]) -> list[tuple[int, int]]:
+    """Moore-neighbor boundary trace (clockwise) from the topmost-leftmost
+    pixel of a component. Returns (x, y) points in traversal order."""
+    h, w = fg.shape
+    sy, sx = start
+    boundary = [(sx, sy)]
+    # backtrack starts W of the start pixel (row-major scan guarantees bg/edge)
+    prev_dir = 6  # W
+    cy, cx = sy, sx
+    first_move = None
+    while True:
+        found = False
+        # search clockwise starting just after the backtrack direction
+        for k in range(1, 9):
+            d = (prev_dir + k) % 8
+            dy, dx = _MOORE[d]
+            ny, nx = cy + dy, cx + dx
+            if 0 <= ny < h and 0 <= nx < w and fg[ny, nx]:
+                if (ny, nx) == (sy, sx) and first_move is not None:
+                    return boundary
+                if first_move is None:
+                    first_move = d
+                elif (cy, cx) == (sy, sx) and d == first_move:
+                    return boundary  # Jacob's stopping criterion
+                boundary.append((nx, ny))
+                # new backtrack: direction pointing back to the previous pixel
+                prev_dir = (d + 4) % 8
+                cy, cx = ny, nx
+                found = True
+                break
+        if not found:  # isolated pixel
+            return boundary
+        if len(boundary) > 4 * fg.size:  # safety bound
+            return boundary
+
+
+def find_outer_contours(mask: np.ndarray) -> list[np.ndarray]:
+    """D3: outer boundaries of 4-connected foreground components, in
+    row-major discovery order. Returns [K,2] float64 (x, y) arrays."""
+    fg = np.asarray(mask) > 0
+    h, w = fg.shape
+    seen = np.zeros_like(fg, dtype=bool)
+    contours = []
+    for y in range(h):
+        for x in range(w):
+            if fg[y, x] and not seen[y, x]:
+                # flood-fill the component to mark it seen
+                comp = np.zeros_like(fg)
+                dq = deque([(y, x)])
+                seen[y, x] = True
+                comp[y, x] = True
+                while dq:
+                    cy, cx = dq.popleft()
+                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        ny, nx = cy + dy, cx + dx
+                        if 0 <= ny < h and 0 <= nx < w and fg[ny, nx] and not seen[ny, nx]:
+                            seen[ny, nx] = True
+                            comp[ny, nx] = True
+                            dq.append((ny, nx))
+                pts = _trace_boundary(comp, (y, x))
+                # Moore tracing walks clockwise (image coords, y down);
+                # reverse to counter-clockwise so the unclip normal
+                # (-dy, dx) points OUTWARD — the dilation the DB unclip
+                # semantics require (db/impl.rs:136-144)
+                contours.append(np.asarray(pts[::-1], dtype=np.float64))
+    return contours
+
+
+def polygon_area(points: np.ndarray) -> float:
+    """Shoelace (absolute)."""
+    p = np.asarray(points, dtype=np.float64)
+    if len(p) < 3:
+        return 0.0
+    x, y = p[:, 0], p[:, 1]
+    return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0)
+
+
+def polygon_perimeter(points: np.ndarray) -> float:
+    p = np.asarray(points, dtype=np.float64)
+    if len(p) < 2:
+        return 0.0
+    d = np.diff(np.vstack([p, p[:1]]), axis=0)
+    return float(np.sqrt((d**2).sum(axis=1)).sum())
+
+
+def unclip(points: np.ndarray, delta: float, width: float, height: float) -> np.ndarray:
+    """D4: offset each vertex along the normal of its prev->next edge vector
+    by delta, clamped to [0,width]x[0,height]. Exact polygon.rs:151-187 loop
+    (NOT shapely buffer — numerics must match the reference)."""
+    p = np.asarray(points, dtype=np.float64)
+    n = len(p)
+    if n == 0:
+        return p
+    prev_pts = np.roll(p, 1, axis=0)
+    next_pts = np.roll(p, -1, axis=0)
+    edge = next_pts - prev_pts
+    normal = np.stack([-edge[:, 1], edge[:, 0]], axis=1)
+    length = np.sqrt((normal**2).sum(axis=1))
+    out = p.copy()
+    ok = np.abs(length) >= 1e-6
+    out[ok] = p[ok] + normal[ok] / length[ok, None] * delta
+    out[:, 0] = np.clip(out[:, 0], 0.0, width)
+    out[:, 1] = np.clip(out[:, 1], 0.0, height)
+    # non-ok vertices keep original coords (polygon.rs:172-173)
+    out[~ok] = p[~ok]
+    return out
+
+
+def resample(points: np.ndarray, num_samples: int = 50) -> np.ndarray:
+    """D5a: densify — for each edge (incl. closing edge) emit the start point
+    plus num_samples-1 evenly interpolated points (polygon.rs:131-149)."""
+    p = np.asarray(points, dtype=np.float64)
+    n = len(p)
+    if n == 0:
+        return p
+    starts = p
+    ends = np.roll(p, -1, axis=0)
+    t = (np.arange(num_samples, dtype=np.float64) / num_samples)[None, :, None]  # [1,S,1]
+    seg = starts[:, None, :] + t * (ends - starts)[:, None, :]  # [n,S,2]
+    return seg.reshape(-1, 2)
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """D5b: Andrew monotone chain, CCW order (scalar cross products —
+    np.cross has per-call overhead that dominates on dense contours)."""
+    p = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    if len(p) <= 2:
+        return p
+    pts = [(float(x), float(y)) for x, y in p[np.lexsort((p[:, 1], p[:, 0]))]]
+
+    def half(seq):
+        out: list[tuple[float, float]] = []
+        for q in seq:
+            while len(out) >= 2:
+                ox, oy = out[-2]
+                ax, ay = out[-1]
+                if (ax - ox) * (q[1] - oy) - (ay - oy) * (q[0] - ox) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(q)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)
+
+
+def verify(points: np.ndarray) -> np.ndarray:
+    """D5c: dedup on int-cast coords — drop trailing points equal to the
+    first, then keep first occurrence of each (int(x), int(y))
+    (polygon.rs:189-211)."""
+    p = list(np.asarray(points, dtype=np.float64))
+    if p:
+        first = (int(p[0][0]), int(p[0][1]))
+        while len(p) > 1 and (int(p[-1][0]), int(p[-1][1])) == first:
+            p.pop()
+    seen = set()
+    out = []
+    for q in p:
+        key = (int(q[0]), int(q[1]))
+        if key not in seen:
+            seen.add(key)
+            out.append(q)
+    return np.asarray(out, dtype=np.float64)
+
+
+def db_postprocess(
+    prob_map: np.ndarray,
+    ratio: float = 1.0,
+    binary_thresh: float = BINARY_THRESH,
+    unclip_ratio: float = UNCLIP_RATIO,
+    min_width: float = MIN_WIDTH,
+    min_height: float = MIN_HEIGHT,
+    conf_thresh: float = CONF_THRESH,
+) -> list[dict]:
+    """D1-D7 over one region probability map (already at original scale —
+    the stateless resize2-style caller carries scale metadata per row).
+
+    Returns dicts: polygon [K,2], bbox (x1,y1,x2,y2) floats, conf float.
+    """
+    mask = binarize_prob_map(prob_map, binary_thresh)
+    h, w = mask.shape
+    regions = []
+    for contour in find_outer_contours(mask):
+        if len(contour) <= 2:
+            continue  # db/impl.rs:124-129 (degenerate/hole drop)
+        area = polygon_area(contour)
+        perim = polygon_perimeter(contour)
+        if perim <= 0:
+            continue
+        delta = area * round(ratio) * unclip_ratio / perim  # db/impl.rs:136-139
+        # reference chain is unclip -> resample(50) -> hull -> verify
+        # (db/impl.rs:141-144); resample inserts only convex combinations of
+        # edge endpoints, so hull(resample(X)) == hull(X) — we skip the 50x
+        # point blowup in the hot path (identity asserted in unit tests)
+        poly = verify(convex_hull(unclip(contour, delta, float(w), float(h))))
+        if len(poly) < 3:
+            continue
+        x1, y1 = poly.min(axis=0)
+        x2, y2 = poly.max(axis=0)
+        if (y2 - y1) < min_height or (x2 - x1) < min_width:  # db/impl.rs:146-148
+            continue
+        bbox_area = (x2 - x1) * (y2 - y1)
+        conf = float(np.float32(polygon_area(poly) / bbox_area)) if bbox_area > 0 else 0.0
+        if np.float32(conf) < np.float32(conf_thresh):  # db/impl.rs:150-152
+            continue
+        regions.append(
+            {
+                "polygon": poly,
+                "bbox": (float(x1), float(y1), float(x2), float(y2)),
+                "conf": conf,
+            }
+        )
+    return regions
+
+
+# --------------------------------------------------------------------------
+# recognition decoders
+# --------------------------------------------------------------------------
+
+def ctc_greedy_decode(
+    logits: np.ndarray,
+    vocab: list[str],
+    max_length: int = 256,
+    conf_thresh: float = 0.2,
+) -> str:
+    """R1: per-timestep argmax; truncate to max_length; drop blank id 0 and
+    low-conf steps; join vocab entries. No repeat-collapse (svtr/impl.rs:83-93)."""
+    lg = np.asarray(logits, dtype=np.float32)
+    if lg.size == 0:
+        return ""
+    ids = np.argmax(lg, axis=1)
+    confs = lg[np.arange(len(ids)), ids]
+    ids = ids[:max_length]
+    confs = confs[:max_length]
+    keep = (ids != 0) & (confs >= np.float32(conf_thresh))
+    return "".join(vocab[int(i)] for i in ids[keep])
+
+
+def greedy_generate(
+    step_fn,
+    start_token: int = 1,
+    eos_token: int = 2,
+    max_steps: int = 50,
+) -> list[int]:
+    """R3: TrOCR-style greedy autoregressive loop. ``step_fn(input_ids)``
+    returns logits [len(input_ids), V]; we argmax the LAST position, append,
+    stop on EOS or max_steps (trocr/impl.rs:74-121)."""
+    ids = [start_token]
+    for _ in range(max_steps):
+        logits = np.asarray(step_fn(ids), dtype=np.float32)
+        nxt = int(np.argmax(logits[-1]))
+        if nxt == eos_token:
+            break
+        ids.append(nxt)
+    return ids[1:]  # strip start token

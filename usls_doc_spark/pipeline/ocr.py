@@ -1,0 +1,108 @@
+"""OCR-span pipeline: text-region detection (DB postprocess) + recognition
+(SVTR-style CTC decode) over region crops, per page, inside one
+Arrow-batched UDF.
+
+Model boundary: the ONNX DB/SVTR sessions are stubbed (image libs absent)
+with deterministic emitters — the DETECTION stub renders each text block as
+a probability map (rectangle of 0.9) and the RECOGNITION stub emits one-hot
+logits whose argmax encodes the block text — so the full reference
+postprocess path (binarize -> contour -> unclip -> resample -> hull ->
+verify -> min-size/conf filter -> CTC decode, SURVEY.md §2.5-2.6) runs for
+real on every span and the decoded text is independently checkable against
+the source documents (the DuckDB oracle states span == 8-word chunk).
+
+Width bucketing note (R2, svtr/config.rs:14-17): SVTR batches group crops
+by width bucket; here crops are processed per page so batching is the Arrow
+batch itself — a production ONNX recognizer would group by
+``width // 320`` inside the UDF before session.run.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..kernels.boilerplate import classify_block, parse_blocks
+from ..kernels.ocr import ctc_greedy_decode, db_postprocess
+from ..kernels.yolo_decode import round_half_away
+
+OCR_SCHEMA = (
+    "url string, region_id int, span_text string, "
+    "x int, y int, width int, height int, conf float"
+)
+
+# id 0 = CTC blank (svtr vocab convention, options.rs:231-244)
+VOCAB = ["<blank>"] + sorted(set("abcdefghijklmnopqrstuvwxyz0123456789 "))
+_CHAR_TO_ID = {c: i for i, c in enumerate(VOCAB)}
+
+CELL = 4  # px per char in the stub prob map
+PAD = 4
+MAP_H = 24
+RECT_H = 12
+
+
+def render_region_prob_map(n_chars: int) -> np.ndarray:
+    """Stub DB 'model': a text region renders as a filled rectangle."""
+    w = CELL * max(n_chars, 1) + 2 * PAD
+    pm = np.zeros((MAP_H, w), dtype=np.float32)
+    pm[PAD : PAD + RECT_H, PAD : w - PAD] = np.float32(0.9)
+    return pm
+
+
+def stub_recognizer_logits(text: str) -> np.ndarray:
+    """Stub SVTR 'model': one-hot 0.95 logits per character timestep."""
+    lg = np.zeros((len(text), len(VOCAB)), dtype=np.float32)
+    for t, ch in enumerate(text):
+        lg[t, _CHAR_TO_ID.get(ch, 0)] = np.float32(0.95)
+    return lg
+
+
+def ocr_page(html_bytes: bytes | None, url: str) -> list[dict]:
+    if html_bytes is None:
+        return []
+    html = bytes(html_bytes).decode("utf-8", errors="replace")
+    blocks = parse_blocks(html)
+    out = []
+    region_id = 0
+    for blk in blocks:
+        cls, _conf = classify_block(blk)
+        if cls != "plain text":
+            continue
+        pm = render_region_prob_map(blk.n_chars)
+        regions = db_postprocess(pm, ratio=1.0)
+        if not regions:
+            region_id += 1
+            continue
+        r = regions[0]
+        x1, y1, x2, y2 = r["bbox"]
+        text = ctc_greedy_decode(stub_recognizer_logits(blk.text), VOCAB)
+        out.append(
+            {
+                "url": url,
+                "region_id": region_id,
+                "span_text": text,
+                "x": int(round_half_away(np.float32(x1))),
+                "y": int(round_half_away(np.float32(y1))),
+                "width": int(round_half_away(np.float32(x2 - x1))),
+                "height": int(round_half_away(np.float32(y2 - y1))),
+                "conf": float(np.float32(r["conf"])),
+            }
+        )
+        region_id += 1
+    return out
+
+
+def ocr_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ["url", "region_id", "span_text", "x", "y", "width", "height", "conf"]
+    for pdf in batches:
+        rows: list[dict] = []
+        for h, u in zip(pdf["html"].to_numpy(), pdf["url"].to_numpy()):
+            rows.extend(ocr_page(h, u))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def ocr_spans(pages_df):
+    """pages -> one row per recognized text span (lazy)."""
+    return pages_df.select("url", "html").mapInPandas(ocr_batch, schema=OCR_SCHEMA)

@@ -71,6 +71,38 @@ FROM documents
 """
 
 
+def ocr_spans_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR-span pipeline (DB detect postprocess + SVTR CTC decode) over the
+    synthesized pages; oracle states the generator invariant: spans are the
+    8-word chunks of documents.text, in order."""
+    from .pipeline.ocr import ocr_spans
+
+    pages = pages_from_documents(spark, sf_dir)
+    return ocr_spans(pages).select("url", "region_id", "span_text")
+
+
+OCR_SPANS_ORACLE = f"""
+SELECT 'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+       generate_subscripts(chunks, 1) - 1 AS region_id,
+       unnest(chunks) AS span_text
+FROM (
+  SELECT doc_id,
+         [array_to_string((string_split(text, ' '))[i:i+{CHUNK_WORDS - 1}], ' ')
+          for i in range(1, len(string_split(text, ' ')) + 1, {CHUNK_WORDS})] AS chunks
+  FROM documents
+)
+"""
+
+
+def ocr_regions_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full OCR region rows incl. unclipped-polygon geometry + confidence
+    (rows-only: the contour/unclip geometry has no SQL analogue)."""
+    from .pipeline.ocr import ocr_spans
+
+    pages = pages_from_documents(spark, sf_dir)
+    return ocr_spans(pages)
+
+
 def extract_block_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide layout-class histogram: explode detected blocks."""
     from pyspark.sql import functions as F
@@ -128,6 +160,9 @@ def build_registry() -> tuple[dict, dict]:
     oracles["extract_metrics"] = EXTRACT_METRICS_ORACLE
     queries["extract_block_hist"] = extract_block_hist
     oracles["extract_block_hist"] = EXTRACT_BLOCK_HIST_ORACLE
+    queries["ocr_spans"] = ocr_spans_text
+    oracles["ocr_spans"] = OCR_SPANS_ORACLE
+    queries["ocr_regions_detail"] = ocr_regions_detail  # rows-only
 
     # relational
     for name, (fn, oracle) in relational.RELATIONAL_QUERIES.items():
