@@ -1,0 +1,61 @@
+"""Physical-plan assertions: the scale discipline (broadcast small dims,
+push filters to the scan, prune columns through opaque UDF stages) must be
+visible in the executed plan, not just hoped for (SURVEY.md §4)."""
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_broadcasts_dimensions(spark):
+    from usls_doc_spark.operators.relational import q3_top_orders
+
+    plan = plan_of(q3_top_orders(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan  # dims must not shuffle-sort-merge
+
+
+def test_q5_broadcasts_all_dims(spark):
+    from usls_doc_spark.operators.relational import q5_region_revenue
+
+    plan = plan_of(q5_region_revenue(spark, SF_DIR))
+    assert plan.count("BroadcastExchange") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_pushes_shipdate_filter_and_prunes(spark):
+    from usls_doc_spark.operators.relational import q1_pricing_summary
+
+    plan = plan_of(q1_pricing_summary(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # only the 7 needed columns reach the scan (no l_orderkey/partkey/suppkey)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    # partial aggregation (map-side combine) before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_extraction_scan_prunes_to_url_html(spark, tmp_path_factory):
+    from usls_doc_spark.io.synth import pages_from_documents
+    from usls_doc_spark.pipeline.extract import extract_pages
+
+    out = str(tmp_path_factory.mktemp("pages_plan") / "pages")
+    pages_from_documents(spark, SF_DIR).write.parquet(out)
+    plan = plan_of(extract_pages(spark.read.parquet(out)))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "url:string" in read and "html:binary" in read
+    assert "warc_ts" not in read and "lang" not in read
+
+
+def test_minhash_join_is_not_cartesian(spark):
+    from usls_doc_spark.operators.text_queries import TEXT_QUERIES
+    from usls_doc_spark.operators.dialect import SPARK
+    from usls_doc_spark.queries import _register_views
+
+    _register_views(spark, SF_DIR)
+    plan = plan_of(spark.sql(TEXT_QUERIES["dedup_minhash_lsh"](SPARK)))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

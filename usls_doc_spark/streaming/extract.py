@@ -1,0 +1,48 @@
+"""Structured Streaming variant of the flagship extraction pipeline:
+continuous ingest of page files -> the same mapInPandas extraction ->
+idempotent sink.
+
+Maps the reference's DataLoader streaming iteration (SURVEY.md §3.3,
+/root/reference/src/misc/dataloader.rs:234-331: producer thread + bounded
+channel backpressure) onto readStream file-source micro-batches: source
+discovery replaces the path queue, maxFilesPerTrigger replaces the channel
+bound, and the checkpointLocation replaces the north rule's resume
+semantics for the streaming path (exactly-once file sink).
+
+The batch path (pipeline/checkpoint.py) remains the primary north-rule
+flow; this exists so continuous crawl ingest runs the same extraction body
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..io.synth import PAGES_SCHEMA
+from ..pipeline.extract import extract_batch, EXTRACT_SCHEMA
+
+
+def start_streaming_extraction(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+):
+    """Start (and return) the streaming query: parquet page files appearing
+    under ``pages_dir`` are extracted and appended to ``out_dir``."""
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+    extracted = stream.select("url", "html").mapInPandas(
+        extract_batch, schema=EXTRACT_SCHEMA
+    )
+    return (
+        extracted.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
