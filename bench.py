@@ -28,6 +28,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
+    "q6_revenue_delta",
+    "q4_priority_semi",
     "top_customers_per_segment",
     "orders_running_total",
     "events_sessionize",
@@ -40,6 +42,8 @@ BENCH_QUERIES = [
     "lang_detect_stopwords",
     "ann_topk_cosine",
     "ann_lsh_buckets",
+    "ann_ivf_probe",
+    "ocr_spans",
 ]
 
 
@@ -71,6 +75,15 @@ def main() -> None:
     def noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    # Every measurement is the SECOND run (steady state): this sandbox's
+    # first-run wall time mixes in python-worker startup, JIT/codegen and
+    # heavy minute-scale host noise (see BENCH/BASELINE.md method notes).
+    def timed_warm(thunk) -> float:
+        thunk()
+        t0 = time.monotonic()
+        thunk()
+        return time.monotonic() - t0
+
     # --- headline: extraction throughput --------------------------------
     pages = pages_from_documents(spark, SF_DIR, copies=COPIES, n_partitions=CPUS * 4)
     pages.persist()
@@ -78,17 +91,13 @@ def main() -> None:
         F.count(F.lit(1)).alias("n"), F.sum(F.octet_length("html")).alias("b")
     ).collect()[0]
     n_docs, html_bytes = stats["n"], stats["b"]
-    t0 = time.monotonic()
-    noop(extract_pages(pages))
-    t_extract = time.monotonic() - t0
+    t_extract = timed_warm(lambda: noop(extract_pages(pages)))
     timings["extraction_pipeline"] = round(t_extract, 3)
     pages.unpersist()
 
     # --- operator suite ---------------------------------------------------
     for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        noop(queries[name](spark, SF_DIR))
-        timings[name] = round(time.monotonic() - t0, 3)
+        timings[name] = round(timed_warm(lambda: noop(queries[name](spark, SF_DIR))), 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -347,7 +347,107 @@ FROM (
 """
 
 
+# --- TPC-H Q6-style: single-scan filtered aggregate --------------------------
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", 4, 2))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q6_ORACLE = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- semi join (EXISTS): orders that have at least one late line -------------
+def q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# --- anti join (NOT EXISTS): customers with no orders -------------------------
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+NO_ORDERS_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- set ops (shared SQL: INTERSECT / EXCEPT on distinct projections) ---------
+SETOPS_SQL = """
+SELECT lang, 'both' AS src_class FROM
+  (SELECT DISTINCT lang FROM documents WHERE source = 'src0'
+   INTERSECT
+   SELECT DISTINCT lang FROM documents WHERE source = 'src1') a
+UNION ALL
+SELECT lang, 'only_src0' AS src_class FROM
+  (SELECT DISTINCT lang FROM documents WHERE source = 'src0'
+   EXCEPT
+   SELECT DISTINCT lang FROM documents WHERE source = 'src1') b
+"""
+
+
+def lang_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(SETOPS_SQL)
+
+
 RELATIONAL_QUERIES = {
+    "q6_revenue_delta": (q6_revenue_delta, Q6_ORACLE),
+    "q4_priority_semi": (q4_priority_semi, Q4_ORACLE),
+    "customers_without_orders": (customers_without_orders, NO_ORDERS_ORACLE),
+    "lang_setops": (lang_setops, SETOPS_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
     "q3_top_orders": (q3_top_orders, Q3_ORACLE),
     "q5_region_revenue": (q5_region_revenue, Q5_ORACLE),

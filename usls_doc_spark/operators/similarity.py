@@ -110,8 +110,57 @@ GROUP BY bucket
 """
 
 
+def q_ann_ivf_probe(d: Dialect) -> str:
+    """IVF-style ANN: 8 deterministic 'centroids' (the first 8 vectors as a
+    stand-in coarse quantizer — no RNG/k-means so both engines agree), every
+    vector assigned to its max-cosine cell, then queries probe ONLY their
+    own cell for top-3 neighbors.
+
+    Spark plan shape at scale: centroid table broadcast; assignment is one
+    scan (8 dots/row); candidate generation is an equi-join on cell id —
+    |G|/n_cells per probe instead of |G| (the brute-force baseline
+    ann_topk_cosine is the exact-answer control).
+    """
+    from .dialect import dot64
+
+    self_dot = dot64("embedding", "embedding", DIMS)(d)
+    assign_dot = dot64("v.embedding", "c.embedding", DIMS)(d)
+    pair_dot = dot64("q.embedding", "g.embedding", DIMS)(d)
+    return f"""
+WITH norms AS (
+  SELECT vec_id, embedding, sqrt({self_dot}) AS nrm FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, embedding, nrm FROM norms WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, cid, row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY ({assign_dot}) / (v.nrm * c.nrm) DESC, cid) AS rk
+  FROM norms v CROSS JOIN cents c
+),
+cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rk = 1),
+qset AS (SELECT vec_id, cell FROM cells WHERE vec_id < 10),
+cands AS (
+  SELECT q.vec_id AS qid, g.vec_id AS nid, q.cell AS cell
+  FROM qset q JOIN cells g ON q.cell = g.cell AND g.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT cands.qid, cands.nid, cands.cell,
+         ({pair_dot}) / (q.nrm * g.nrm) AS sim
+  FROM cands
+  JOIN norms q ON q.vec_id = cands.qid
+  JOIN norms g ON g.vec_id = cands.nid
+)
+SELECT qid, nid, cell, sim FROM (
+  SELECT qid, nid, cell, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+  FROM scored
+) ranked WHERE rk <= 3
+"""
+
+
 SIMILARITY_QUERIES = {
     "ann_topk_cosine": q_ann_topk_cosine,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_ivf_probe": q_ann_ivf_probe,
 }

@@ -185,31 +185,61 @@ GROUP BY a.doc_id, b.doc_id
 
 
 def q_ngram_jaccard_top(d: Dialect) -> str:
-    """Top-20 most shingle-similar doc pairs (n-gram Jaccard), computed via
-    inverted-index join on shingle (never a cross join), totally ordered.
+    """Top-20 most shingle-similar doc pairs: MinHash-LSH candidate
+    generation (4 single-minhash bands) followed by EXACT n-gram Jaccard
+    verification via set intersection — the two-stage shape that scales.
+
+    A raw inverted-index shingle self-join is quadratic in per-shingle
+    document frequency (avg df ~20 at sf0.1 -> ~10M pair rows); LSH bounds
+    the verify stage to actual near-duplicate candidates. Recall is bounded
+    by the LSH band structure (documented operator semantics; identical in
+    the oracle since both render from this template).
     """
     w = _words(d)
     sh = d.array_distinct(d.shingles("ws", 3))
+    mh_cols = ", ".join(
+        d.array_min(d.array_transform("sh", "s", d.md5(f"'{j}:' || s"))) + f" AS mh{j}"
+        for j in range(4)
+    )
+    mh_array = "array(" + ", ".join(f"mh{j}" for j in range(4)) + ")"
     if d.name == "spark":
-        exploded = "SELECT doc_id, n_sh, s FROM ds LATERAL VIEW explode(sh) AS s"
+        bands = (
+            f"SELECT doc_id, band, band_key FROM sigs "
+            f"LATERAL VIEW posexplode({mh_array}) t AS band, band_key"
+        )
     else:
-        exploded = "SELECT doc_id, n_sh, s FROM ds, unnest(sh) AS t_s(s)"
+        bands = "\nUNION ALL\n".join(
+            f"SELECT doc_id, {j} AS band, mh{j} AS band_key FROM sigs" for j in range(4)
+        )
+    if d.name == "spark":
+        inter = "size(array_intersect(a.sh, b.sh))"
+        nlen = "size({side}.sh)"
+    else:
+        inter = "len(list_intersect(a.sh, b.sh))"
+        nlen = "len({side}.sh)"
     return f"""
 WITH ds AS (
-  SELECT doc_id, sh, {d.array_len("sh")} AS n_sh
-  FROM (SELECT doc_id, {sh} AS sh FROM (SELECT doc_id, {w} AS ws FROM documents))
+  SELECT doc_id, {sh} AS sh FROM (SELECT doc_id, {w} AS ws FROM documents)
 ),
-ex AS ({exploded}),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         count(*) AS shared,
-         min(a.n_sh) AS na, min(b.n_sh) AS nb
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+sigs AS (SELECT doc_id, {mh_cols} FROM ds),
+bands AS ({bands}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         {inter} AS shared,
+         {nlen.format(side='a')} AS na,
+         {nlen.format(side='b')} AS nb
+  FROM cands c
+  JOIN ds a ON a.doc_id = c.doc_a
+  JOIN ds b ON b.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b, shared,
        CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
-FROM pairs
+FROM verified
 ORDER BY CAST(shared AS DOUBLE) / (na + nb - shared) DESC, doc_a, doc_b
 LIMIT 20
 """
