@@ -47,12 +47,14 @@ def union(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Pairwise IoU matrix. Ref: bbox.rs:28-31 (intersect/union)."""
+    """Pairwise IoU matrix. Ref: bbox.rs:28-31 (intersect/union).
+
+    Zero-union pairs (both boxes degenerate) have zero intersection too, so
+    the epsilon guard yields exactly 0.0 for them — no errstate needed.
+    """
     inter = intersect(a, b)
     uni = area(a)[:, None] + area(b)[None, :] - inter
-    with np.errstate(divide="ignore", invalid="ignore"):
-        out = np.where(uni > 0, inter / uni, 0.0)
-    return out.astype(np.float32)
+    return (inter / np.maximum(uni, np.float32(1e-12))).astype(np.float32)
 
 
 def contains(a: np.ndarray, b: np.ndarray) -> np.ndarray:

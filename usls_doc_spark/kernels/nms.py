@@ -30,6 +30,22 @@ def nms_indices(boxes: np.ndarray, confs: np.ndarray, iou_threshold: float) -> n
     if n == 0:
         return np.empty(0, dtype=np.int64)
     order = np.argsort(-confs, kind="stable")
+
+    if n <= 512:
+        # small-n fast path: one n x n IoU matrix (the dominant cost at
+        # typical page box counts is per-call numpy overhead, not FLOPs)
+        from .geometry import iou as iou_matrix
+
+        ious = iou_matrix(boxes[order], boxes[order])
+        suppress = ious > np.float32(iou_threshold)
+        kept_mask = np.zeros(n, dtype=bool)
+        kept_small: list[int] = []
+        for i in range(n):
+            if not suppress[i, kept_mask].any():
+                kept_mask[i] = True
+                kept_small.append(i)
+        return order[np.asarray(kept_small, dtype=np.int64)]
+
     b = boxes[order]
     x1 = b[:, 0]
     y1 = b[:, 1]
@@ -54,8 +70,7 @@ def nms_indices(boxes: np.ndarray, confs: np.ndarray, iou_threshold: float) -> n
             bo = np.minimum(ky2[:k], y2[i])
             inter = np.maximum(r - l, 0.0) * np.maximum(bo - t, 0.0)
             uni = karea[:k] + areas[i] - inter
-            with np.errstate(divide="ignore", invalid="ignore"):
-                iou_k = np.where(uni > 0, inter / uni, 0.0)
+            iou_k = inter / np.maximum(uni, np.float32(1e-12))
             if (iou_k > thr).any():
                 continue
         kx1[k] = x1[i]

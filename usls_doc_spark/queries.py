@@ -179,6 +179,12 @@ def build_registry() -> tuple[dict, dict]:
         queries[name] = _sim_query(name)
         oracles[name] = tmpl(DUCK)
 
+    # grouped-map (applyInPandas path)
+    from .operators.grouped import LANG_WORD_RANK_ORACLE, lang_word_rank
+
+    queries["lang_word_rank"] = lang_word_rank
+    oracles["lang_word_rank"] = LANG_WORD_RANK_ORACLE
+
     # streaming (oracle = the batch-equivalent SQL)
     queries["streaming_events_window"] = streaming_events_window
     oracles["streaming_events_window"] = STREAMING_ORACLE
