@@ -61,15 +61,14 @@ spark.sparkContext.setLogLevel("ERROR")
 from usls_doc_spark.pipeline.extract import extract_pages
 pages = spark.read.parquet(os.environ["PAGES_DIR"])
 s = pages.agg(F.count(F.lit(1)).alias("n"), F.sum(F.octet_length("html")).alias("b")).collect()[0]
-# warmup (python workers, JIT, Arrow), then median of 3 timed runs —
-# this sandbox's wall-clock noise is +/-50% between minutes
+# warmup (python workers, JIT, Arrow), then N timed runs
 extract_pages(pages).write.format("noop").mode("overwrite").save()
 secs = []
-for _ in range(3):
+for _ in range(int(os.environ.get("TIMED_RUNS", "1"))):
     t0 = time.monotonic()
     extract_pages(pages).write.format("noop").mode("overwrite").save()
     secs.append(time.monotonic() - t0)
-dt = sorted(secs)[1]
+dt = sorted(secs)[len(secs) // 2]
 print(json.dumps({{"cpus": cpus, "docs": s["n"], "mb": s["b"] / 1e6,
                    "sec": dt, "all_secs": [round(x, 2) for x in secs],
                    "docs_per_sec": s["n"] / dt,
@@ -132,11 +131,19 @@ def main() -> None:
         raise SystemExit(1)
 
     env_extra = {"PAGES_DIR": pages_dir}
-    results = {c: run_spark(c, env_extra) for c in (2, 8, 32)}
+    # INTERLEAVED PAIRS: host throughput drifts +/-50% minute-to-minute, so
+    # each efficiency sample compares N and 4N runs executed back-to-back;
+    # the reported efficiency is the median of per-pair ratios.
+    pairs = []
+    for _ in range(3):
+        a = run_spark(2, env_extra)
+        b = run_spark(8, env_extra)
+        pairs.append((a, b, (b["docs_per_sec"] / a["docs_per_sec"]) / 4.0))
+    pairs.sort(key=lambda p: p[2])
+    n, n4, eff_2_8 = pairs[1]
+    all_effs = [round(p[2], 3) for p in pairs]
+    n16 = run_spark(32, env_extra)
     ctrl = {c: raw_compute(c) for c in (2, 8, 32)}
-
-    n, n4, n16 = results[2], results[8], results[32]
-    eff_2_8 = (n4["docs_per_sec"] / n["docs_per_sec"]) / 4.0
     eff_8_32 = (n16["docs_per_sec"] / n4["docs_per_sec"]) / 4.0
     hw_2_8 = (ctrl[8] / ctrl[2]) / 4.0
     hw_8_32 = (ctrl[32] / ctrl[8]) / 4.0
@@ -165,7 +172,8 @@ end-to-end via the noop sink; one warmup run, then one timed run per level.
 {row(n16)}
 
 **N=2 -> 4N=8: efficiency = ({n4["docs_per_sec"]:.0f} / {n["docs_per_sec"]:.0f}) / 4 = {eff_2_8:.3f}**
-(target >= 0.8 — {"MET" if eff_2_8 >= 0.8 else "NOT MET"}; hardware control at the same levels: {hw_2_8:.3f})
+(median of 3 back-to-back N/4N pairs: {all_effs}; target >= 0.8 —
+{"MET" if eff_2_8 >= 0.8 else "NOT MET"}; hardware control at the same levels: {hw_2_8:.3f})
 
 8 -> 32: efficiency = {eff_8_32:.3f} (hardware control: {hw_8_32:.3f} — this box's
 pure-CPU multiprocessing throughput itself only scales {4 * hw_8_32:.2f}x from 8 to 32

@@ -46,6 +46,18 @@ def nms_indices(boxes: np.ndarray, confs: np.ndarray, iou_threshold: float) -> n
                 kept_small.append(i)
         return order[np.asarray(kept_small, dtype=np.int64)]
 
+    # large-n path: first collapse EXACT duplicate boxes to their max-conf
+    # instance (stable). Equivalent under greedy NMS for thr < 1: a
+    # duplicate has IoU 1.0 with its twin (suppressed if the twin is kept)
+    # and identical IoUs against every other box (suppressed by exactly the
+    # same kept boxes if the twin was dropped) — so it can never be kept and
+    # never affects other decisions. Duplicate anchors are the common case
+    # on oversized pages (the stub emits 2 identical anchors per block).
+    if iou_threshold < 1.0:
+        _, first_idx = np.unique(boxes[order], axis=0, return_index=True)
+        order = order[np.sort(first_idx)]
+        n = len(order)
+
     b = boxes[order]
     x1 = b[:, 0]
     y1 = b[:, 1]

@@ -161,21 +161,24 @@ def abandon_filter_and_round(decoded: DecodedBoxes) -> list[dict]:
     Ref: docstructbench.rs:82-108. Returns dicts with x,y,width,height int,
     plus cls/conf/id_born carried for downstream reading-order/assembly.
     """
+    n = len(decoded.confs)
+    if n == 0:
+        return []
+    # vectorized filter mask + rounding; dict assembly only for survivors
+    is_abandon = np.asarray([nm.lower() == "abandon" for nm in decoded.names])
+    keep = ~(is_abandon & (decoded.confs < ABANDON_CONF_FLOOR))
+    idx = np.nonzero(keep)[0]
+    rounded = round_half_away(decoded.boxes[idx]).astype(np.int64)
     out: list[dict] = []
-    for i in range(len(decoded.confs)):
-        name = decoded.names[i]
-        conf = float(decoded.confs[i])
-        if name.lower() == "abandon" and np.float32(conf) < ABANDON_CONF_FLOOR:
-            continue
-        x, y, w, h = decoded.boxes[i]
+    for j, i in enumerate(idx):
         out.append(
             {
-                "x": int(round_half_away(x)),
-                "y": int(round_half_away(y)),
-                "width": int(round_half_away(w)),
-                "height": int(round_half_away(h)),
-                "cls": name,
-                "conf": conf,
+                "x": int(rounded[j, 0]),
+                "y": int(rounded[j, 1]),
+                "width": int(rounded[j, 2]),
+                "height": int(rounded[j, 3]),
+                "cls": decoded.names[int(i)],
+                "conf": float(decoded.confs[i]),
                 "id_born": int(decoded.anchor_ids[i]),
             }
         )
