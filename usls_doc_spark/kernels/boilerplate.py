@@ -107,6 +107,10 @@ class _BlockParser(HTMLParser):
             if self._merge_depth == 1 and self._open:
                 self._end_block()
             self._merge_depth = max(0, self._merge_depth - 1)
+        elif self._merge_depth > 0 and tag in ("td", "th", "tr", "caption", "li", "p"):
+            # cell/row boundaries become whitespace inside a merged block
+            if self._open:
+                self._open[-1]._parts.append(" ")
         elif tag in BLOCK_TAGS and self._merge_depth == 0:
             if self._open and self._open[-1].tag == tag:
                 self._end_block()
