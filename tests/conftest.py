@@ -1,5 +1,6 @@
 import pathlib
 import sys
+import tempfile
 
 import pytest
 
@@ -12,8 +13,10 @@ SF_DIR = "/root/testdata/sf0.001"
 def spark():
     from pyspark.sql import SparkSession
 
+    warehouse = tempfile.mkdtemp(prefix="usls_test_warehouse_")
     s = (
         SparkSession.builder.master("local[8]")
+        .config("spark.sql.warehouse.dir", warehouse)
         .appName("usls_doc_spark_tests")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")

@@ -51,6 +51,28 @@ def test_extraction_scan_prunes_to_url_html(spark, tmp_path_factory):
     assert "warc_ts" not in read and "lang" not in read
 
 
+def test_asof_join_broadcasts_orders(spark):
+    from usls_doc_spark.operators.relational import asof_join_purchases
+
+    plan = plan_of(asof_join_purchases(spark, SF_DIR))
+    # the equi-key carries the join (broadcast hash on user_id=o_custkey,
+    # range predicate folded into the join condition) — never a cartesian
+    # product or a sort-merge of the fact table
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_ann_topk_broadcasts_query_side(spark):
+    from usls_doc_spark.operators.similarity import SIMILARITY_QUERIES
+    from usls_doc_spark.operators.dialect import SPARK
+    from usls_doc_spark.queries import _register_views
+
+    _register_views(spark, SF_DIR)
+    plan = plan_of(spark.sql(SIMILARITY_QUERIES["ann_topk_cosine"](SPARK)))
+    # 10-row query set must be the broadcast side of the crossJoin
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_minhash_join_is_not_cartesian(spark):
     from usls_doc_spark.operators.text_queries import TEXT_QUERIES
     from usls_doc_spark.operators.dialect import SPARK

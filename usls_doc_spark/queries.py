@@ -34,6 +34,10 @@ TABLES = (
 
 
 def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    # AQE coalesces the post-shuffle partitions the host session may have
+    # oversized (e.g. the 200 default) — harmless if already enabled
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
