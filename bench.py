@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "ann_topk_cosine",
     "ann_lsh_buckets",
     "ann_ivf_probe",
+    "corpus_curation",
     "ocr_spans",
 ]
 

@@ -245,7 +245,71 @@ LIMIT 20
 """
 
 
+def q_corpus_curation(d: Dialect) -> str:
+    """The composed training-data curation pipeline in one plan: quality
+    gate -> LSH near-dup candidates -> exact-Jaccard verify (>= 0.5) ->
+    drop non-canonical duplicates (keep the lowest doc_id of each verified
+    pair). Output: the surviving corpus with per-doc metadata.
+
+    This is the operators' intended composition (what a 100 TB curation run
+    executes); each stage is individually oracled elsewhere, this checks
+    the composition end-to-end.
+    """
+    w = _words(d)
+    sh = d.array_distinct(d.shingles("ws", 3))
+    en = ", ".join(f"'{t}'" for t in STOPWORDS["en"])
+    mh_cols = ", ".join(
+        d.array_min(d.array_transform("sh", "s", d.md5(f"'{j}:' || s"))) + f" AS mh{j}"
+        for j in range(4)
+    )
+    mh_array = "array(" + ", ".join(f"mh{j}" for j in range(4)) + ")"
+    if d.name == "spark":
+        bands = (
+            "SELECT doc_id, band, band_key FROM sigs "
+            f"LATERAL VIEW posexplode({mh_array}) t AS band, band_key"
+        )
+        inter = "size(array_intersect(a.sh, b.sh))"
+        alen = "size(a.sh)"
+        blen = "size(b.sh)"
+    else:
+        bands = "\nUNION ALL\n".join(
+            f"SELECT doc_id, {j} AS band, mh{j} AS band_key FROM sigs" for j in range(4)
+        )
+        inter = "len(list_intersect(a.sh, b.sh))"
+        alen = "len(a.sh)"
+        blen = "len(b.sh)"
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, n_chars, {w} AS ws FROM documents
+),
+quality AS (
+  SELECT doc_id, lang, n_chars, ws FROM base
+  WHERE {d.array_len("ws")} >= 20
+    AND CAST({d.array_filter_count("ws", "x", f"x IN ({en})")} AS DOUBLE)
+        / {d.array_len("ws")} >= 0.02
+),
+ds AS (SELECT doc_id, lang, n_chars, {sh} AS sh FROM quality),
+sigs AS (SELECT doc_id, {mh_cols} FROM ds),
+bands AS ({bands}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+dups AS (
+  SELECT c.doc_b AS drop_id
+  FROM cands c
+  JOIN ds a ON a.doc_id = c.doc_a
+  JOIN ds b ON b.doc_id = c.doc_b
+  WHERE CAST({inter} AS DOUBLE) / ({alen} + {blen} - {inter}) >= 0.5
+)
+SELECT doc_id, lang, n_chars FROM ds
+WHERE doc_id NOT IN (SELECT drop_id FROM dups)
+"""
+
+
 TEXT_QUERIES = {
+    "corpus_curation": q_corpus_curation,
     "text_stats": q_text_stats,
     "token_count_bpe": q_token_count_bpe,
     "lang_detect_stopwords": q_lang_detect,
