@@ -12,6 +12,26 @@ def pages(spark):
     return pages_from_documents(spark, SF_DIR)
 
 
+def test_null_html_rows_become_error_rows(spark, tmp_path_factory):
+    import datetime as dt
+
+    from usls_doc_spark.pipeline.checkpoint import run_extraction_job
+
+    rows = [
+        ("u-null", dt.datetime(2024, 1, 1), None, "t", "en"),
+        ("u-ok", dt.datetime(2024, 1, 1), b"<p>hello world text</p>", "t", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = str(tmp_path_factory.mktemp("nullhtml"))
+    run_extraction_job(spark, pages, out, run_id="n1", n_buckets=4)
+    got = {r["url"]: r for r in spark.read.parquet(f"{out}/extracted").collect()}
+    assert set(got) == {"u-null", "u-ok"}  # null html NOT silently dropped
+    assert got["u-null"]["error"] is not None
+    assert got["u-ok"]["error"] is None
+
+
 def test_resume_from_partial_run(spark, pages, tmp_path_factory):
     from pyspark.sql import functions as F
 

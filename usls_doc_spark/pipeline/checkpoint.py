@@ -79,7 +79,9 @@ def run_extraction_job(
         pages = pages.filter(F.col("bucket").isin(remaining))
 
     nparts = spark.sparkContext.defaultParallelism * 4
-    size = F.octet_length("html")
+    # null html must still flow through (it becomes an error row, S3
+    # semantics) — octet_length(NULL) is NULL and would fail BOTH filters
+    size = F.coalesce(F.octet_length("html"), F.lit(0))
     small = pages.filter(size < skew_bytes).repartition(nparts, "url")
     # oversized docs: round-robin spread so no task accumulates several giants
     big = pages.filter(size >= skew_bytes).repartition(nparts)
