@@ -1,0 +1,72 @@
+"""Custom stateful streaming operator: cross-micro-batch sessionization via
+``applyInPandasWithState`` (the task-mandated custom-stateful-operator path;
+pyspark guide "Stateful" section).
+
+State per user: (last event epoch-seconds, session count, event count). A
+new session opens when the gap to the previous event exceeds 30 minutes —
+the exact semantics of the batch SESSIONIZE_SQL (operators/relational.py),
+which is the correctness oracle: after the stream drains, the per-user
+final counts must equal the batch query's (asserted in
+tests/test_streaming_sessionize.py, including sessions spanning micro-batch
+boundaries, which only the STATE can stitch together).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .events import EVENTS_SCHEMA
+
+GAP_SECONDS = 30 * 60
+
+OUTPUT_SCHEMA = "user_id bigint, n_sessions bigint, n_events bigint"
+STATE_SCHEMA = "last_us bigint, n_sessions bigint, n_events bigint"
+
+
+def _sessionize_group(key, pdfs, state: GroupState):
+    last_us, n_sessions, n_events = state.get if state.exists else (None, 0, 0)
+    ts_us: list[int] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+    for t in ts_us:
+        if last_us is None or (t - last_us) > GAP_SECONDS * 1_000_000:
+            n_sessions += 1
+        n_events += 1
+        last_us = t
+    state.update((last_us, n_sessions, n_events))
+    yield pd.DataFrame(
+        [(key[0], n_sessions, n_events)],
+        columns=["user_id", "n_sessions", "n_events"],
+    )
+
+
+def streaming_sessionize(spark, events_dir: str, query_name: str, max_files: int = 1):
+    """Start the stateful sessionization stream over parquet event files.
+
+    Returns the StreamingQuery; results land in the ``query_name`` memory
+    table (update mode — latest row per user wins, counts are monotone).
+    """
+    for q in spark.streams.active:
+        if q.name == query_name:
+            q.stop()
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(events_dir)
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
