@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "q5_region_revenue",
     "q6_revenue_delta",
     "q4_priority_semi",
+    "q17_small_quantity",
     "top_customers_per_segment",
     "orders_running_total",
     "events_sessionize",

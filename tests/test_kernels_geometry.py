@@ -68,6 +68,18 @@ def test_letterbox_roundtrip():
     assert np.allclose(rt, boxes, atol=1e-2)
 
 
+def test_letterbox_centered_padding():
+    # ops.rs:404-412: centering splits the slack on the non-fitted axis
+    spec = letterbox_spec(h0=500, w0=1000, th=1024, tw=1024, center=True)
+    # width fits exactly (r = 1024/1000); height is padded: t = (1024-512)/2
+    assert spec.pad_left == 0 and spec.pad_top == 256
+    boxes = np.array([[0, 0, 1000, 500]], dtype=np.float32)
+    canvas = boxes_to_canvas(boxes, spec)
+    assert abs(canvas[0, 1] - 256) < 1e-3
+    rt = boxes_to_original(canvas, spec)
+    assert np.allclose(rt, boxes, atol=1e-2)
+
+
 def test_decode_preds_gates_and_abandon_filter():
     spec = letterbox_spec(h0=1024, w0=1024, th=1024, tw=1024)  # ratio 1
     # anchors: [cxcywh + 10 class scores]

@@ -424,6 +424,35 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
+# --- TPC-H Q17-style: correlated aggregate subquery, decimal-exact ------------
+# The classic predicate `l_quantity < 0.2 * avg(l_quantity)` is rewritten to
+# the integer-domain equivalent `5 * l_quantity * cnt < sum(l_quantity)` so
+# both engines evaluate EXACT decimal arithmetic (avg-of-double would
+# reassociate differently per engine). Implemented as join + window (the
+# decorrelated plan Catalyst would produce anyway).
+Q17_SQL = """
+WITH pl AS (
+  SELECT p_partkey, p_brand,
+         CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(14,2)) AS price,
+         sum(CAST(l_quantity AS DECIMAL(12,2))) OVER (PARTITION BY p_partkey) AS sum_qty,
+         count(*) OVER (PARTITION BY p_partkey) AS cnt
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#1'
+)
+SELECT CAST(sum(price) AS DOUBLE) / 7.0 AS avg_yearly,
+       count(*) AS n_small_orders
+FROM pl
+WHERE qty * 5 * cnt < sum_qty
+"""
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(Q17_SQL)
+
+
 # --- set ops (shared SQL: INTERSECT / EXCEPT on distinct projections) ---------
 SETOPS_SQL = """
 SELECT lang, 'both' AS src_class FROM
@@ -447,6 +476,7 @@ RELATIONAL_QUERIES = {
     "q6_revenue_delta": (q6_revenue_delta, Q6_ORACLE),
     "q4_priority_semi": (q4_priority_semi, Q4_ORACLE),
     "customers_without_orders": (customers_without_orders, NO_ORDERS_ORACLE),
+    "q17_small_quantity": (q17_small_quantity, Q17_SQL),
     "lang_setops": (lang_setops, SETOPS_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
     "q3_top_orders": (q3_top_orders, Q3_ORACLE),
