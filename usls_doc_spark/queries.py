@@ -126,7 +126,10 @@ SELECT 'title' AS cls, count(*) AS n_blocks FROM d
 UNION ALL
 SELECT 'plain text' AS cls, CAST(sum(ceil(n_words / {CHUNK_WORDS}.0)) AS BIGINT) AS n_blocks FROM d
 UNION ALL
-SELECT 'abandon' AS cls, count(*) AS n_blocks FROM d WHERE doc_id % {SKEW_MOD} = 0
+-- kept-abandon blocks exist only on skew pages; emit no row when a dataset
+-- happens to contain none (the Spark side's groupBy produces no row either)
+SELECT 'abandon' AS cls, count(*) AS n_blocks FROM d
+WHERE doc_id % {SKEW_MOD} = 0 HAVING count(*) > 0
 """
 
 
