@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "fingerprint_simhash",
+    "fingerprint_rolling_hash",
     "lang_detect_stopwords",
     "ann_topk_cosine",
     "ann_lsh_buckets",

@@ -308,8 +308,48 @@ WHERE doc_id NOT IN (SELECT drop_id FROM dups)
 """
 
 
+def q_rolling_hash(d: Dialect) -> str:
+    """Polynomial rolling-hash fingerprints: a full-document hash plus a
+    winnowing-style minimum over all 8-char window hashes (the rolling-hash
+    fingerprint family of MOSS/winnowing). Sequential modular fold —
+    base 31 mod 1e9+7, seed 0 — evaluated in the engines' sequential
+    fold primitives (Spark aggregate / DuckDB list_reduce): exact integer
+    arithmetic, identical results.
+    """
+    mod = 1_000_000_007
+    if d.name == "spark":
+        codes = "transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1)))"
+        full = f"aggregate({codes}, 0L, (acc, c) -> (acc * 31 + c) % {mod})"
+        win = (
+            "transform(sequence(1, greatest(length(text) - 7, 1)), i -> "
+            "aggregate(transform(sequence(0, 7), j -> ascii(substr(text, i + j, 1))), "
+            f"0L, (acc, c) -> (acc * 31 + c) % {mod}))"
+        )
+        min_win = f"array_min({win})"
+    else:
+        codes = (
+            "list_transform(range(1, length(text) + 1), "
+            "i -> ascii(substr(text, CAST(i AS INT), 1)))"
+        )
+        full = f"list_reduce(list_prepend(CAST(0 AS BIGINT), {codes}), (acc, c) -> (acc * 31 + c) % {mod})"
+        win = (
+            "list_transform(range(1, greatest(length(text) - 7, 1) + 1), i -> "
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), "
+            "j -> ascii(substr(text, CAST(i + j AS INT), 1)))), "
+            f"(acc, c) -> (acc * 31 + c) % {mod}))"
+        )
+        min_win = f"list_min({win})"
+    return f"""
+SELECT doc_id,
+       CAST({full} AS BIGINT) AS rolling_hash,
+       CAST({min_win} AS BIGINT) AS winnow_min_hash
+FROM documents
+"""
+
+
 TEXT_QUERIES = {
     "corpus_curation": q_corpus_curation,
+    "fingerprint_rolling_hash": q_rolling_hash,
     "text_stats": q_text_stats,
     "token_count_bpe": q_token_count_bpe,
     "lang_detect_stopwords": q_lang_detect,
