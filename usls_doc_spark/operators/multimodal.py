@@ -8,6 +8,15 @@ in this container, so the DECODE step is a clearly-marked stub
 (`decode_image`) with a deterministic fake feature extractor standing in —
 the Spark-side plumbing (binary column, schema, batch shape, partitioning)
 is real and tested. Swap `_fake_features` for a PIL/cv2 call in production.
+
+Output columns are canonicalization-safe scalars (f0..f7, not an array
+column — the driver's compare sorts on every column and a python list is
+unhashable). Every output is a pure function of the synthesized page bytes,
+so the DuckDB oracle (MULTIMODAL_ORACLE) reconstructs the exact html string
+from `documents` via the same concatenation io/synth.py performs and states
+each statistic in SQL over the per-byte code list. The reconstruction uses
+ascii codepoints == bytes, valid because the synthesized pages are pure
+ASCII (asserted in tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -17,12 +26,12 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-MULTIMODAL_SCHEMA = (
-    "url string, n_bytes bigint, magic string, mean_byte double, "
-    "n_frames int, features array<float>"
-)
-
 N_FEATURES = 8
+
+MULTIMODAL_SCHEMA = (
+    "url string, n_bytes bigint, magic string, mean_byte double, n_frames int, "
+    + ", ".join(f"f{j} float" for j in range(N_FEATURES))
+)
 
 
 def decode_image(data: bytes):  # pragma: no cover - documented stub
@@ -46,11 +55,14 @@ def _fake_features(arr: np.ndarray) -> np.ndarray:
 
 
 def media_features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ["url", "n_bytes", "magic", "mean_byte", "n_frames"] + [
+        f"f{j}" for j in range(N_FEATURES)
+    ]
     for pdf in batches:
         rows = []
         for url, data in zip(pdf["url"], pdf["html"]):
             if data is None:
-                rows.append((url, 0, "", 0.0, 0, [0.0] * N_FEATURES))
+                rows.append((url, 0, "", 0.0, 0, *([0.0] * N_FEATURES)))
                 continue
             arr = np.frombuffer(bytes(data), dtype=np.uint8)
             rows.append(
@@ -60,19 +72,17 @@ def media_features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                     bytes(data[:4]).hex(),
                     float(arr.mean()) if len(arr) else 0.0,
                     int(len(arr) // 4096) + 1,  # fake frame-sample count
-                    _fake_features(arr).tolist(),
+                    *[float(v) for v in _fake_features(arr)],
                 )
             )
-        yield pd.DataFrame(
-            rows, columns=["url", "n_bytes", "magic", "mean_byte", "n_frames", "features"]
-        )
+        yield pd.DataFrame(rows, columns=cols)
 
 
 def multimodal_features(spark, sf_dir: str):
     """pages(html binary) -> per-doc media metadata + stub features.
 
-    Rows-only correctness check (no SQL analogue for the UDF path); the
-    deterministic fake keeps outputs stable across runs/partitionings.
+    Hash-checkable: MULTIMODAL_ORACLE restates every column in DuckDB SQL
+    by rebuilding the synthesized page bytes from `documents`.
     """
     from ..io.synth import pages_from_documents
 
@@ -80,3 +90,73 @@ def multimodal_features(spark, sf_dir: str):
     return pages.select("url", "html").mapInPandas(
         media_features_batch, schema=MULTIMODAL_SCHEMA
     )
+
+
+def _esc(expr: str) -> str:
+    """html.escape(quote=True) as nested SQL replace, same substitution
+    order as CPython (& first, then < > \" ')."""
+    e = f"replace({expr}, '&', '&amp;')"
+    e = f"replace({e}, '<', '&lt;')"
+    e = f"replace({e}, '>', '&gt;')"
+    e = f"replace({e}, '\"', '&quot;')"
+    e = f"replace({e}, chr(39), '&#x27;')"
+    return e
+
+
+def _stratum(j: int) -> str:
+    """Mean of bytes at positions ≡ j (mod 8), zero-padded to a multiple of
+    8 rows — exactly numpy's reshape(-1, 8).mean(axis=0)[j] (integer sums
+    are exact in both engines; single final division; round-to-float32)."""
+    return (
+        f"CAST(CAST(list_sum([cs[i] for i in range(1, len(cs) + 1) "
+        f"if (i - 1) % 8 = {j}]) AS DOUBLE) / ((n + 7) // 8) AS FLOAT) AS f{j}"
+    )
+
+
+# Rebuild of io/synth.py synth_page(), piece by piece, in DuckDB SQL.
+MULTIMODAL_ORACLE = f"""
+WITH src AS (
+  SELECT doc_id, text,
+         doc_id % 3 = 1 AS two_col,
+         doc_id % 47 = 0 AS skew,
+         [array_to_string((string_split(text, ' '))[i:i+7], ' ')
+          for i in range(1, len(string_split(text, ' ')) + 1, 8)] AS chunks
+  FROM documents
+),
+page AS (
+  SELECT doc_id,
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' - example.org</title>'
+    || CASE WHEN two_col THEN '<meta name="layout" content="two-column"/>' ELSE '' END
+    || '</head><body><nav><ul>'
+    || array_to_string(
+         ['<li><a href="/cat/' || CAST(k AS VARCHAR) || '">section '
+            || CAST(k AS VARCHAR) || ' link</a></li>'
+          for k in range(0, CASE WHEN skew THEN 1200 ELSE 12 END)], '')
+    || '</ul></nav>'
+    || CASE WHEN skew THEN
+         '<div class="sidebar"><p>' || array_to_string(
+           ['sponsored listing item ' || CAST(j AS VARCHAR) || ' buy now limited offer'
+            for j in range(0, 1500)], ' ') || '</p></div>'
+       ELSE '' END
+    || '<p class="morelink"><a href="/more">read more stories here</a></p>'
+    || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+    || array_to_string(['<p>' || {_esc("c")} || '</p>' for c in chunks], '')
+    || '<footer><p><a href="/about">about</a> <a href="/tos">terms</a> copyright '
+    || CAST(2020 + doc_id % 5 AS VARCHAR)
+    || ' example org</p></footer></body></html>' AS html
+  FROM src
+),
+codes AS (
+  SELECT doc_id, html,
+         [ascii(c) for c in string_split(html, '')] AS cs,
+         length(html) AS n
+  FROM page
+)
+SELECT 'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+       n AS n_bytes,
+       lower(hex(encode(substr(html, 1, 4)))) AS magic,
+       CAST(list_sum(cs) AS DOUBLE) / n AS mean_byte,
+       CAST(n // 4096 + 1 AS INT) AS n_frames,
+       {", ".join(_stratum(j) for j in range(N_FEATURES))}
+FROM codes
+"""

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .io.synth import CHUNK_WORDS, SKEW_MOD, pages_from_documents
 from .operators import relational
 from .operators.dialect import DUCK, SPARK
-from .operators.multimodal import multimodal_features
+from .operators.multimodal import MULTIMODAL_ORACLE, multimodal_features
 from .operators.similarity import SIMILARITY_QUERIES
 from .operators.text_queries import TEXT_QUERIES
 from .pipeline.extract import extract_pages
@@ -70,7 +70,7 @@ EXTRACT_METRICS_ORACLE = f"""
 SELECT 'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
        CAST(1 + ceil(len(string_split(text, ' ')) / {CHUNK_WORDS}.0)
               + (CASE WHEN doc_id % {SKEW_MOD} = 0 THEN 1 ELSE 0 END) AS INT) AS n_blocks,
-       length('Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text) AS extracted_bytes
+       octet_length(encode('Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text)) AS extracted_bytes
 FROM documents
 """
 
@@ -99,12 +99,41 @@ FROM (
 
 
 def ocr_regions_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full OCR region rows incl. unclipped-polygon geometry + confidence
-    (rows-only: the contour/unclip geometry has no SQL analogue)."""
+    """Full OCR region rows incl. unclipped-polygon geometry + confidence.
+
+    The stub DB prob map makes the detect-postprocess geometry a pure
+    function of the chunk character count, so the oracle joins the span
+    oracle to the PINNED geometry table (operators/ocr_geom.py, generated
+    once by scripts/gen_ocr_geom.py) on length(span_text) — a kernel
+    regression fails the hash instead of being silently followed."""
     from .pipeline.ocr import ocr_spans
 
     pages = pages_from_documents(spark, sf_dir)
     return ocr_spans(pages)
+
+
+def _ocr_regions_oracle() -> str:
+    from .operators.ocr_geom import GEOM_ROWS
+
+    # conf literals go through ::DOUBLE — DuckDB parses bare numeric
+    # literals as DECIMAL, whose direct cast to FLOAT rounds differently
+    # than the double->float32 conversion the Spark side performs
+    values = ",\n    ".join(
+        f"({n}, {x}, {y}, {w}, {h}, CAST({conf!r} AS DOUBLE))"
+        for n, x, y, w, h, conf in GEOM_ROWS
+    )
+    return f"""
+WITH spans AS ({OCR_SPANS_ORACLE}),
+geom(n_chars, x, y, width, height, conf) AS (
+  VALUES
+    {values}
+)
+SELECT s.url, s.region_id, s.span_text,
+       CAST(g.x AS INT) AS x, CAST(g.y AS INT) AS y,
+       CAST(g.width AS INT) AS width, CAST(g.height AS INT) AS height,
+       CAST(g.conf AS FLOAT) AS conf
+FROM spans s JOIN geom g ON length(s.span_text) = g.n_chars
+"""
 
 
 def extract_block_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,7 +198,8 @@ def build_registry() -> tuple[dict, dict]:
     oracles["extract_block_hist"] = EXTRACT_BLOCK_HIST_ORACLE
     queries["ocr_spans"] = ocr_spans_text
     oracles["ocr_spans"] = OCR_SPANS_ORACLE
-    queries["ocr_regions_detail"] = ocr_regions_detail  # rows-only
+    queries["ocr_regions_detail"] = ocr_regions_detail
+    oracles["ocr_regions_detail"] = _ocr_regions_oracle()
 
     # relational
     for name, (fn, oracle) in relational.RELATIONAL_QUERIES.items():
@@ -196,7 +226,8 @@ def build_registry() -> tuple[dict, dict]:
     queries["streaming_events_window"] = streaming_events_window
     oracles["streaming_events_window"] = STREAMING_ORACLE
 
-    # multimodal: rows-only (UDF decode path has no SQL analogue)
+    # multimodal: oracle rebuilds the synthesized page bytes in SQL
     queries["multimodal_features"] = multimodal_features
+    oracles["multimodal_features"] = MULTIMODAL_ORACLE
 
     return queries, oracles
