@@ -11,20 +11,31 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_q3_broadcasts_dimensions(spark):
+def analyzed_of(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_q3_no_fact_broadcast_hints(spark):
+    """Inverse discipline (round-1 VERDICT item 3): orders/customer are
+    fact-sized — NO forced broadcast; AQE decides from runtime stats."""
     from usls_doc_spark.operators.relational import q3_top_orders
 
-    plan = plan_of(q3_top_orders(spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
-    assert "SortMergeJoin" not in plan  # dims must not shuffle-sort-merge
+    df = q3_top_orders(spark, SF_DIR)
+    assert "ResolvedHint" not in analyzed_of(df)
+    assert "CartesianProduct" not in plan_of(df)
 
 
-def test_q5_broadcasts_all_dims(spark):
+def test_q5_broadcast_hints_only_on_true_dims(spark):
     from usls_doc_spark.operators.relational import q5_region_revenue
 
-    plan = plan_of(q5_region_revenue(spark, SF_DIR))
-    assert plan.count("BroadcastExchange") >= 3
-    assert "SortMergeJoin" not in plan
+    df = q5_region_revenue(spark, SF_DIR)
+    analyzed = analyzed_of(df)
+    # exactly the two bounded-cardinality dims (region, nation) are hinted
+    assert analyzed.count("ResolvedHint") == 2
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    # the hinted dims do become broadcast joins in the physical plan
+    assert plan.count("BroadcastExchange") >= 2
 
 
 def test_q1_pushes_shipdate_filter_and_prunes(spark):
@@ -51,15 +62,17 @@ def test_extraction_scan_prunes_to_url_html(spark, tmp_path_factory):
     assert "warc_ts" not in read and "lang" not in read
 
 
-def test_asof_join_broadcasts_orders(spark):
+def test_asof_join_has_no_join_and_one_shuffle(spark):
+    """Union-of-streams as-of: NO join operator of any kind (the round-1
+    broadcast-range-join fanned out every prior order per user), one
+    user_id shuffle feeding the window."""
     from usls_doc_spark.operators.relational import asof_join_purchases
 
     plan = plan_of(asof_join_purchases(spark, SF_DIR))
-    # the equi-key carries the join (broadcast hash on user_id=o_custkey,
-    # range predicate folded into the join condition) — never a cartesian
-    # product or a sort-merge of the fact table
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    for op in ("Join", "CartesianProduct", "BroadcastExchange"):
+        assert op not in plan, op
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Window" in plan
 
 
 def test_ann_topk_broadcasts_query_side(spark):

@@ -65,6 +65,10 @@ GROUP BY l_returnflag, l_linestatus
 
 # --- TPC-H Q3-ish: top orders by revenue (broadcast dim join) --------------
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders and customer are FACT-sized at scale — no broadcast hints
+    (a forced broadcast of orders is a driver OOM at 100×); AQE picks the
+    join strategy from runtime stats, upgrading to broadcast only when the
+    filtered side actually fits (round-1 VERDICT item 3)."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
@@ -75,8 +79,8 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast("decimal(3,2)")
     revenue = F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2)))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(revenue.cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderkey")
@@ -99,8 +103,11 @@ LIMIT 10
 """
 
 
-# --- TPC-H Q5-ish: regional revenue (5-way join, broadcast dims) ------------
+# --- TPC-H Q5-ish: regional revenue (5-way join, broadcast TRUE dims) -------
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hints only on region (5 rows) and nation (25 rows) — the
+    bounded-cardinality dimensions. orders/customer/supplier grow with SF,
+    so their join strategy is left to AQE runtime stats."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -113,9 +120,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast("decimal(3,2)")
     revenue = F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2)))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -309,28 +316,51 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- as-of join: latest order at or before each purchase event ---------------
 def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-streams as-of join (round-2 rewrite): NO join operator.
+
+    The round-1 form broadcast the full orders table into a range join
+    whose fan-out was every prior order per user before a window trimmed
+    it — a driver OOM plus k² row explosion at scale. Instead: union the
+    order stream and the purchase-event stream, shuffle ONCE on user_id,
+    and carry the latest order forward with last_value(ignorenulls) —
+    every input row appears exactly once, any per-user skew is a sort not
+    a blow-up.
+
+    Tie semantics match the declarative ASOF_ORACLE: an order dated
+    exactly at the event ts qualifies (order rows sort before event rows
+    at equal ts via kind 0<1); among equal-date orders the smallest
+    o_orderkey wins (descending key puts it last in the frame)."""
     ev = (
         _t(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", "ts")
-    )
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
-    j = ev.join(
-        F.broadcast(orders),
-        (ev.user_id == orders.o_custkey) & (orders.o_orderdate <= ev.ts),
-        "left",
-    )
-    w = Window.partitionBy("event_id").orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
-    return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
         .select(
             "event_id",
             "user_id",
             "ts",
-            F.col("o_orderkey").alias("asof_orderkey"),
-            F.col("o_orderdate").alias("asof_orderdate"),
+            F.lit(None).cast("bigint").alias("o_orderkey"),
+            F.lit(None).cast("timestamp").alias("o_orderdate"),
+            F.lit(1).alias("kind"),
         )
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+        "o_orderdate",
+        F.lit(0).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("kind"), F.desc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.unionByName(orders)
+        .withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("asof_orderdate", F.last("o_orderdate", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("event_id", "user_id", "ts", "asof_orderkey", "asof_orderdate")
     )
 
 

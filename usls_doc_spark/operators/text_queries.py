@@ -144,13 +144,42 @@ HAVING count(*) > 1
 """
 
 
+BAND_CAP = 64  # max docs per (band, band_key) bucket entering the self-join
+
+
+def _capped_bands(bands: str, cap: int = BAND_CAP) -> str:
+    """Band CTEs with a per-bucket membership cap (round-1 VERDICT item 8).
+
+    Without a cap, a degenerate hot band key (boilerplate text shared by k
+    documents) produces k² candidate pairs in the self-join — the one way
+    an LSH plan can still blow up at 100 TB. The cap keeps the ``cap``
+    smallest doc_ids per (band, band_key): pair output per bucket is
+    bounded by cap²/2, and the choice is deterministic (ordered by doc_id)
+    and identical in both dialects so the oracle stays exact.
+
+    Recall tradeoff: members of a >cap bucket beyond the first ``cap``
+    lose the pairs that bucket would have contributed; for dedup this
+    under-merges clusters larger than ``cap`` (they remain candidates via
+    their other, less-degenerate bands).
+    """
+    return f"""bands_raw AS ({bands}),
+bands AS (
+  SELECT doc_id, band, band_key FROM (
+    SELECT doc_id, band, band_key,
+           row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS _rnk
+    FROM bands_raw
+  ) capped WHERE _rnk <= {cap}
+)"""
+
+
 def build_minhash_lsh_pairs(d: Dialect) -> str:
     """MinHash+LSH near-dup candidates: 3-word shingles -> 8 md5 minhashes ->
     8 single-row bands -> band-key equi-join -> candidate pairs.
 
     Spark plan: scan -> project signatures (no shuffle) -> explode 8 band
-    rows -> shuffle on band key (high selectivity) -> pair aggregate. This
-    is the LSH shape that scales: the corpus is never cross-joined.
+    rows -> per-bucket cap window -> shuffle on band key (high selectivity)
+    -> pair aggregate. This is the LSH shape that scales: the corpus is
+    never cross-joined, and no bucket exceeds BAND_CAP members.
     """
     w = _words(d)
     sh = d.shingles("ws", 3)
@@ -176,7 +205,7 @@ WITH sigs AS (
   SELECT doc_id, {mh_cols}
   FROM (SELECT doc_id, {sh} AS sh FROM (SELECT doc_id, {w} AS ws FROM documents))
 ),
-bands AS ({bands})
+{_capped_bands(bands)}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -222,7 +251,7 @@ WITH ds AS (
   SELECT doc_id, {sh} AS sh FROM (SELECT doc_id, {w} AS ws FROM documents)
 ),
 sigs AS (SELECT doc_id, {mh_cols} FROM ds),
-bands AS ({bands}),
+{_capped_bands(bands)},
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -290,7 +319,7 @@ quality AS (
 ),
 ds AS (SELECT doc_id, lang, n_chars, {sh} AS sh FROM quality),
 sigs AS (SELECT doc_id, {mh_cols} FROM ds),
-bands AS ({bands}),
+{_capped_bands(bands)},
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -311,39 +340,67 @@ WHERE doc_id NOT IN (SELECT drop_id FROM dups)
 def q_rolling_hash(d: Dialect) -> str:
     """Polynomial rolling-hash fingerprints: a full-document hash plus a
     winnowing-style minimum over all 8-char window hashes (the rolling-hash
-    fingerprint family of MOSS/winnowing). Sequential modular fold —
-    base 31 mod 1e9+7, seed 0 — evaluated in the engines' sequential
-    fold primitives (Spark aggregate / DuckDB list_reduce): exact integer
-    arithmetic, identical results.
+    fingerprint family of MOSS/winnowing). Base 31 mod 1e9+7, seed 0 —
+    exact integer arithmetic, identical results in both engines.
+
+    Scale shape (round-2 rewrite): the round-1 form evaluated
+    ascii(substr(text, i+j, 1)) per (window, offset) — substr on a UTF-8
+    string is O(i), so O(L²) per document. Now the code array is
+    materialized ONCE via a single-pass char split, then:
+      * Spark: the true rolling recurrence
+        win' = ((win - c_i·31⁷ mod M + M)·31 + c_{i+8}) mod M
+        in one sequential aggregate with (win, min) struct state — O(L);
+      * DuckDB oracle: per-window fold over slice(codes, i, 8) — O(8L)
+        (same exact integers; the oracle need not share the plan).
+    Documents shorter than 9 chars have exactly one window == the full
+    hash in both renderings.
     """
     mod = 1_000_000_007
+    pow7 = pow(31, 7, mod)  # 31^7 mod M, the leaving-char coefficient
     if d.name == "spark":
-        codes = "transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1)))"
-        full = f"aggregate({codes}, 0L, (acc, c) -> (acc * 31 + c) % {mod})"
-        win = (
-            "transform(sequence(1, greatest(length(text) - 7, 1)), i -> "
-            "aggregate(transform(sequence(0, 7), j -> ascii(substr(text, i + j, 1))), "
-            f"0L, (acc, c) -> (acc * 31 + c) % {mod}))"
+        fold = f"(acc, c) -> (acc * 31 + c) % {mod}"
+        win_next = (
+            f"((st.win - (element_at(cs, i) * {pow7}L) % {mod} + {mod}) * 31 "
+            f"+ element_at(cs, i + 8)) % {mod}"
         )
-        min_win = f"array_min({win})"
-    else:
-        codes = (
-            "list_transform(range(1, length(text) + 1), "
-            "i -> ascii(substr(text, CAST(i AS INT), 1)))"
-        )
-        full = f"list_reduce(list_prepend(CAST(0 AS BIGINT), {codes}), (acc, c) -> (acc * 31 + c) % {mod})"
-        win = (
-            "list_transform(range(1, greatest(length(text) - 7, 1) + 1), i -> "
-            "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), "
-            "j -> ascii(substr(text, CAST(i + j AS INT), 1)))), "
-            f"(acc, c) -> (acc * 31 + c) % {mod}))"
-        )
-        min_win = f"list_min({win})"
-    return f"""
+        return f"""
+WITH codes AS (
+  SELECT doc_id, transform(split(text, ''), c -> ascii(c)) AS cs, length(text) AS n
+  FROM documents
+),
+seeded AS (
+  SELECT doc_id, cs, n,
+         aggregate(cs, 0L, {fold}) AS full_hash,
+         aggregate(slice(cs, 1, 8), 0L, {fold}) AS first_win
+  FROM codes
+)
 SELECT doc_id,
-       CAST({full} AS BIGINT) AS rolling_hash,
-       CAST({min_win} AS BIGINT) AS winnow_min_hash
-FROM documents
+       CAST(full_hash AS BIGINT) AS rolling_hash,
+       CAST(CASE WHEN n <= 8 THEN full_hash ELSE
+         aggregate(sequence(1, n - 8),
+                   named_struct('win', first_win, 'mn', first_win),
+                   (st, i) -> named_struct('win', {win_next},
+                                           'mn', least(st.mn, {win_next})),
+                   st -> st.mn)
+       END AS BIGINT) AS winnow_min_hash
+FROM seeded
+"""
+    fold = f"(acc, c) -> (acc * 31 + c) % {mod}"
+    win_i = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+7]), {fold})"
+    )
+    return f"""
+WITH codes AS (
+  SELECT doc_id, [ascii(c) for c in string_split(text, '')] AS cs, length(text) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), cs), {fold}) AS BIGINT) AS rolling_hash,
+       CAST(CASE WHEN n <= 8
+         THEN list_reduce(list_prepend(CAST(0 AS BIGINT), cs), {fold})
+         ELSE list_min([{win_i} for i in range(1, n - 7 + 1)])
+       END AS BIGINT) AS winnow_min_hash
+FROM codes
 """
 
 
