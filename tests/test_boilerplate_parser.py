@@ -77,3 +77,38 @@ def test_nested_blocks_inner_wins():
     # li inside ul: text lands in the li block
     b = blocks_of("<ul><li>one</li><li>two</li></ul>")
     assert [x.text for x in b] == ["one", "two"]
+
+
+def test_void_element_with_hint_class_does_not_poison_page():
+    # <img class="ad"> is a void element: it must not push a boilerplate
+    # marker that never pops (round-1 ADVICE — every later block silently
+    # became 'abandon' and its text was dropped)
+    html = '<img class="ad"><p>real article text here</p>'
+    b = blocks_of(html)
+    assert len(b) == 1
+    assert b[0].text == "real article text here"
+    assert not b[0].boilerplate_ancestor
+
+
+def test_nested_same_name_tag_keeps_outer_marker():
+    # inner </div> must close the INNER div, not pop the sidebar marker —
+    # the <p> is still inside the boilerplate container
+    html = '<div class="sidebar"><div>x</div><p>sidebar junk text</p></div><p>body</p>'
+    b = blocks_of(html)
+    texts = {x.text: x.boilerplate_ancestor for x in b}
+    assert texts["sidebar junk text"] is True
+    assert texts["body"] is False
+
+
+def test_self_closing_hinted_element_recovers():
+    # XHTML-style self-closing non-void tag: start+end fire back to back
+    html = '<div class="promo"/><p>after</p>'
+    b = blocks_of(html)
+    assert b[-1].text == "after"
+    assert not b[-1].boilerplate_ancestor
+
+
+def test_stray_end_tags_do_not_underflow():
+    html = "</div></nav></footer><p>fine</p>"
+    b = blocks_of(html)
+    assert b[0].text == "fine" and not b[0].boilerplate_ancestor

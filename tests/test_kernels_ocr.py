@@ -153,3 +153,22 @@ def test_greedy_generate_eos_and_refeed():
         return out
 
     assert len(greedy_generate(forever, max_steps=7)) == 7
+
+
+def test_ocr_page_roundtrips_uppercase_punct_and_long_chunks():
+    """The span == chunk invariant must survive uppercase, punctuation and
+    chunks longer than the old 256-step decode cap (round-1 ADVICE)."""
+    from usls_doc_spark.pipeline.ocr import ocr_page
+
+    long_words = " ".join("Supercalifragilistic-Expialidocious!?" for _ in range(8))
+    html = (
+        "<html><body><h1>T</h1>"
+        "<p>Hello, World! MIXED case &amp; punct: (yes).</p>"
+        f"<p>{long_words}</p>"
+        "</body></html>"
+    ).encode()
+    rows = ocr_page(html, "u")
+    texts = [r["span_text"] for r in rows]
+    assert texts[0] == "Hello, World! MIXED case & punct: (yes)."
+    assert texts[1] == long_words
+    assert len(long_words) > 256

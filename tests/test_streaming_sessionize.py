@@ -51,3 +51,30 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path_factory):
         for r in events_sessionize(spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+def test_sessionize_group_sorts_across_chunks():
+    """A group arriving as multiple Arrow chunks (large groups) must be
+    sorted globally, not per-chunk: these two chunks interleave in time and
+    form exactly 2 sessions — per-chunk sorting would count 3+."""
+    import pandas as pd
+
+    from usls_doc_spark.streaming.sessionize import _sessionize_group
+
+    class FakeState:
+        exists = False
+        get = None
+
+        def update(self, v):
+            self.stored = v
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    # session A: 00:00, 00:05, 00:10; session B (gap > 30min): 01:00, 01:05
+    chunk1 = pd.DataFrame({"ts": [t0, t0 + 60 * m], "event_id": [1, 4]})
+    chunk2 = pd.DataFrame({"ts": [t0 + 5 * m, t0 + 10 * m, t0 + 65 * m], "event_id": [2, 3, 5]})
+    st = FakeState()
+    out = list(_sessionize_group((7,), iter([chunk1, chunk2]), st))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row.user_id, row.n_sessions, row.n_events) == (7, 2, 5)

@@ -34,6 +34,12 @@ MERGE_CONTAINER_TAGS = frozenset({"table"})
 BOILERPLATE_ANCESTOR_TAGS = frozenset({"nav", "footer", "header", "aside"})
 BOILERPLATE_CLASS_HINTS = frozenset({"sidebar", "ad", "ads", "banner", "menu", "promo", "related"})
 SKIP_CONTENT_TAGS = frozenset({"script", "style", "noscript", "template"})
+# HTML5 void elements: never produce end tags, must not occupy the open-
+# element stack (an <img class="ad"> would otherwise mark the rest of the
+# page boilerplate)
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
 
 LINK_DENSITY_ABANDON = np.float32(0.5)
 
@@ -64,13 +70,18 @@ class _BlockParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.blocks: list[Block] = []
         self._open: list[Block] = []
-        self._bp_stack: list[str] = []  # open boilerplate-ancestor tags
+        # open-element stack: one (tag, is_boilerplate_marker) entry per
+        # non-void start tag, popped per matching end tag — nested same-name
+        # tags no longer pop an outer boilerplate marker early, and void
+        # elements never corrupt the stack (round-1 ADVICE)
+        self._elem_stack: list[tuple[str, bool]] = []
+        self._bp_depth = 0  # count of open boilerplate markers
         self._skip_depth = 0  # script/style nesting
         self._anchor_depth = 0
         self._merge_depth = 0  # inside <table>
 
     def _start_block(self, tag: str) -> None:
-        self._open.append(Block(tag=tag, boilerplate_ancestor=bool(self._bp_stack)))
+        self._open.append(Block(tag=tag, boilerplate_ancestor=self._bp_depth > 0))
 
     def _end_block(self) -> None:
         blk = self._open.pop()
@@ -83,8 +94,11 @@ class _BlockParser(HTMLParser):
             self._skip_depth += 1
             return
         classes = set((dict(attrs).get("class") or "").lower().split())
-        if tag in BOILERPLATE_ANCESTOR_TAGS or (classes & BOILERPLATE_CLASS_HINTS):
-            self._bp_stack.append(tag)
+        is_bp = tag in BOILERPLATE_ANCESTOR_TAGS or bool(classes & BOILERPLATE_CLASS_HINTS)
+        if tag not in VOID_TAGS:
+            self._elem_stack.append((tag, is_bp))
+            if is_bp:
+                self._bp_depth += 1
         if tag == "a":
             self._anchor_depth += 1
             return
@@ -100,6 +114,15 @@ class _BlockParser(HTMLParser):
         if tag in SKIP_CONTENT_TAGS:
             self._skip_depth = max(0, self._skip_depth - 1)
             return
+        # close the NEAREST open element with this name (standard HTML
+        # recovery): pop it plus everything opened after it
+        for i in range(len(self._elem_stack) - 1, -1, -1):
+            if self._elem_stack[i][0] == tag:
+                for _t, bp in self._elem_stack[i:]:
+                    if bp:
+                        self._bp_depth -= 1
+                del self._elem_stack[i:]
+                break
         if tag == "a":
             self._anchor_depth = max(0, self._anchor_depth - 1)
             return
@@ -114,8 +137,6 @@ class _BlockParser(HTMLParser):
         elif tag in BLOCK_TAGS and self._merge_depth == 0:
             if self._open and self._open[-1].tag == tag:
                 self._end_block()
-        if self._bp_stack and self._bp_stack[-1] == tag:
-            self._bp_stack.pop()
 
     def handle_data(self, data):
         if self._skip_depth or not self._open:

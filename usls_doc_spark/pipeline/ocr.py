@@ -33,9 +33,15 @@ OCR_SCHEMA = (
     "x int, y int, width int, height int, conf float"
 )
 
-# id 0 = CTC blank (svtr vocab convention, options.rs:231-244)
-VOCAB = ["<blank>"] + sorted(set("abcdefghijklmnopqrstuvwxyz0123456789 "))
+# id 0 = CTC blank (svtr vocab convention, options.rs:231-244). Alphabet
+# covers ALL printable ASCII (0x20-0x7e) so uppercase/punctuation chunks
+# round-trip; chars outside it map to blank (documented model boundary,
+# round-1 ADVICE). MAX_DECODE_LEN must exceed the longest possible chunk
+# (8 words; observed max 59 chars) — a truncating decode silently breaks
+# the span == chunk invariant.
+VOCAB = ["<blank>"] + [chr(c) for c in range(0x20, 0x7F)]
 _CHAR_TO_ID = {c: i for i, c in enumerate(VOCAB)}
+MAX_DECODE_LEN = 4096
 
 CELL = 4  # px per char in the stub prob map
 PAD = 4
@@ -77,7 +83,9 @@ def ocr_page(html_bytes: bytes | None, url: str) -> list[dict]:
             continue
         r = regions[0]
         x1, y1, x2, y2 = r["bbox"]
-        text = ctc_greedy_decode(stub_recognizer_logits(blk.text), VOCAB)
+        text = ctc_greedy_decode(
+            stub_recognizer_logits(blk.text), VOCAB, max_length=MAX_DECODE_LEN
+        )
         out.append(
             {
                 "url": url,

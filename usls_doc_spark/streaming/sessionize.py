@@ -25,11 +25,22 @@ STATE_SCHEMA = "last_us bigint, n_sessions bigint, n_events bigint"
 
 
 def _sessionize_group(key, pdfs, state: GroupState):
+    """Accumulate ALL Arrow chunks for the group, then sort ONCE by
+    (ts, event_id) before folding the state — a large group spanning
+    multiple chunks would otherwise interleave out-of-order timestamps and
+    inflate n_sessions vs the batch oracle (round-1 ADVICE).
+
+    In-order-arrival assumption ACROSS micro-batches: events with ts
+    earlier than the stored last_us (late data) are counted as new-session
+    starts, exactly like the batch oracle would if it only saw the prefix —
+    late data is not reordered retroactively (no retraction support)."""
     last_us, n_sessions, n_events = state.get if state.exists else (None, 0, 0)
+    chunks = [pdf[["ts", "event_id"]] for pdf in pdfs]
     ts_us: list[int] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+    if chunks:
+        batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        batch = batch.sort_values(["ts", "event_id"])
+        ts_us = [int(t.value // 1000) for t in pd.to_datetime(batch["ts"])]
     for t in ts_us:
         if last_us is None or (t - last_us) > GAP_SECONDS * 1_000_000:
             n_sessions += 1
