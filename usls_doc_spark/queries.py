@@ -201,6 +201,18 @@ def build_registry() -> tuple[dict, dict]:
     queries["ocr_regions_detail"] = ocr_regions_detail
     oracles["ocr_regions_detail"] = _ocr_regions_oracle()
 
+    # TrOCR autoregressive recognition (R3/R6), EOS + max-steps oracled
+    from .pipeline.trocr import TROCR_ORACLE, trocr_transcripts
+
+    queries["trocr_transcripts"] = trocr_transcripts
+    oracles["trocr_transcripts"] = TROCR_ORACLE
+
+    # OBB / keypoint / instance-mask decode (L8-L10), pinned-geometry oracle
+    from .operators.instances_query import instances_oracle, layout_instances
+
+    queries["layout_instances"] = layout_instances
+    oracles["layout_instances"] = instances_oracle()
+
     # relational
     for name, (fn, oracle) in relational.RELATIONAL_QUERIES.items():
         queries[name] = fn
