@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "ann_ivf_probe",
     "corpus_curation",
     "ocr_spans",
+    "trocr_transcripts",
+    "layout_instances",
+    "table_cells",
+    "multimodal_features",
 ]
 
 

@@ -39,6 +39,7 @@ _EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 CHUNK_WORDS = 8
 SKEW_MOD = 47  # doc_id % 47 == 0 -> oversized page
 TWOCOL_MOD = 3  # doc_id % 3 == 1 -> two-column layout
+TABLE_MOD = 4  # doc_id % 4 == 2 -> last chunk rendered as a 2-row <table>
 
 
 def url_for(doc_id: int) -> str:
@@ -48,6 +49,27 @@ def url_for(doc_id: int) -> str:
 def chunk_text(text: str) -> list[str]:
     words = text.split(" ")
     return [" ".join(words[i : i + CHUNK_WORDS]) for i in range(0, len(words), CHUNK_WORDS)]
+
+
+def renders_table(doc_id: int, chunks: list[str]) -> bool:
+    """True when this page renders its LAST chunk as a 2-row table.
+
+    Requires >= 2 chunks (so the first chunk stays a <p>: the TrOCR oracle's
+    region) and >= 2 words in the last chunk (a 1-cell table is degenerate).
+    The table's merged block text normalizes to exactly the last chunk, so
+    extracted_text stays byte-identical to 'Doc {id} ' + text.
+    """
+    return (
+        doc_id % TABLE_MOD == 2
+        and len(chunks) >= 2
+        and len(chunks[-1].split(" ")) >= 2
+    )
+
+
+def table_split(words: list[str]) -> tuple[list[str], list[str]]:
+    """Row split of the table cells: first ceil(n/2) words, then the rest."""
+    mid = (len(words) + 1) // 2
+    return words[:mid], words[mid:]
 
 
 def synth_page(doc_id: int, text: str, lang: str) -> dict:
@@ -73,8 +95,18 @@ def synth_page(doc_id: int, text: str, lang: str) -> dict:
         parts.append(f'<div class="sidebar"><p>{junk}</p></div>')
     parts.append('<p class="morelink"><a href="/more">read more stories here</a></p>')
     parts.append(f"<h1>Doc {doc_id}</h1>")
-    for c in chunk_text(text):
+    chunks = chunk_text(text)
+    as_table = renders_table(doc_id, chunks)
+    body_chunks = chunks[:-1] if as_table else chunks
+    for c in body_chunks:
         parts.append(f"<p>{esc(c)}</p>")
+    if as_table:
+        r0, r1 = table_split(chunks[-1].split(" "))
+        rows_html = "".join(
+            "<tr>" + "".join(f"<td>{esc(w)}</td>" for w in row) + "</tr>"
+            for row in (r0, r1)
+        )
+        parts.append(f"<table>{rows_html}</table>")
     parts.append(
         f'<footer><p><a href="/about">about</a> <a href="/tos">terms</a> '
         f"copyright {2020 + doc_id % 5} example org</p></footer>"

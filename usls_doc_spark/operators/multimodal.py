@@ -123,6 +123,13 @@ WITH src AS (
           for i in range(1, len(string_split(text, ' ')) + 1, 8)] AS chunks
   FROM documents
 ),
+tsrc AS (
+  SELECT doc_id, text, two_col, skew, chunks,
+         (doc_id % 4 = 2 AND len(chunks) >= 2
+          AND len(string_split(chunks[len(chunks)], ' ')) >= 2) AS has_table,
+         string_split(chunks[len(chunks)], ' ') AS lw
+  FROM src
+),
 page AS (
   SELECT doc_id,
     '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' - example.org</title>'
@@ -140,11 +147,21 @@ page AS (
        ELSE '' END
     || '<p class="morelink"><a href="/more">read more stories here</a></p>'
     || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
-    || array_to_string(['<p>' || {_esc("c")} || '</p>' for c in chunks], '')
+    || array_to_string(['<p>' || {_esc("c")} || '</p>'
+         for c in (CASE WHEN has_table THEN chunks[1:len(chunks) - 1] ELSE chunks END)], '')
+    || CASE WHEN has_table THEN
+         '<table><tr>'
+         || array_to_string(['<td>' || {_esc("w")} || '</td>'
+              for w in lw[1:(len(lw) + 1) // 2]], '')
+         || '</tr><tr>'
+         || array_to_string(['<td>' || {_esc("w")} || '</td>'
+              for w in lw[(len(lw) + 1) // 2 + 1:len(lw)]], '')
+         || '</tr></table>'
+       ELSE '' END
     || '<footer><p><a href="/about">about</a> <a href="/tos">terms</a> copyright '
     || CAST(2020 + doc_id % 5 AS VARCHAR)
     || ' example org</p></footer></body></html>' AS html
-  FROM src
+  FROM tsrc
 ),
 codes AS (
   SELECT doc_id, html,

@@ -19,7 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .io.synth import CHUNK_WORDS, SKEW_MOD, pages_from_documents
+from .io.synth import CHUNK_WORDS, SKEW_MOD, TABLE_MOD, pages_from_documents
 from .operators import relational
 from .operators.dialect import DUCK, SPARK
 from .operators.multimodal import MULTIMODAL_ORACLE, multimodal_features
@@ -85,15 +85,23 @@ def ocr_spans_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ocr_spans(pages).select("url", "region_id", "span_text")
 
 
+# table pages render their LAST chunk as a <table> block (cls 'table', not
+# 'plain text'), so the OCR path sees one fewer region on those pages
 OCR_SPANS_ORACLE = f"""
 SELECT 'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
        generate_subscripts(chunks, 1) - 1 AS region_id,
        unnest(chunks) AS span_text
 FROM (
   SELECT doc_id,
-         [array_to_string((string_split(text, ' '))[i:i+{CHUNK_WORDS - 1}], ' ')
-          for i in range(1, len(string_split(text, ' ')) + 1, {CHUNK_WORDS})] AS chunks
-  FROM documents
+         CASE WHEN doc_id % {TABLE_MOD} = 2 AND len(chunks0) >= 2
+                   AND len(string_split(chunks0[len(chunks0)], ' ')) >= 2
+              THEN chunks0[1:len(chunks0) - 1] ELSE chunks0 END AS chunks
+  FROM (
+    SELECT doc_id,
+           [array_to_string((string_split(text, ' '))[i:i+{CHUNK_WORDS - 1}], ' ')
+            for i in range(1, len(string_split(text, ' ')) + 1, {CHUNK_WORDS})] AS chunks0
+    FROM documents
+  )
 )
 """
 
@@ -150,14 +158,28 @@ def extract_block_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRACT_BLOCK_HIST_ORACLE = f"""
-WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents)
-SELECT 'title' AS cls, count(*) AS n_blocks FROM d
+WITH d AS (
+  SELECT doc_id,
+         CAST(ceil(len(string_split(text, ' ')) / {CHUNK_WORDS}.0) AS INT) AS n_chunks,
+         len(string_split(text, ' '))
+           - {CHUNK_WORDS} * (CAST(ceil(len(string_split(text, ' ')) / {CHUNK_WORDS}.0) AS INT) - 1) AS nw_last
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n_chunks,
+         (doc_id % {TABLE_MOD} = 2 AND n_chunks >= 2 AND nw_last >= 2) AS has_table
+  FROM d
+)
+SELECT 'title' AS cls, count(*) AS n_blocks FROM g
 UNION ALL
-SELECT 'plain text' AS cls, CAST(sum(ceil(n_words / {CHUNK_WORDS}.0)) AS BIGINT) AS n_blocks FROM d
+SELECT 'plain text' AS cls,
+       CAST(sum(n_chunks) - sum(CASE WHEN has_table THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks FROM g
+UNION ALL
+SELECT 'table' AS cls, count(*) AS n_blocks FROM g WHERE has_table HAVING count(*) > 0
 UNION ALL
 -- kept-abandon blocks exist only on skew pages; emit no row when a dataset
 -- happens to contain none (the Spark side's groupBy produces no row either)
-SELECT 'abandon' AS cls, count(*) AS n_blocks FROM d
+SELECT 'abandon' AS cls, count(*) AS n_blocks FROM g
 WHERE doc_id % {SKEW_MOD} = 0 HAVING count(*) > 0
 """
 
@@ -212,6 +234,12 @@ def build_registry() -> tuple[dict, dict]:
 
     queries["layout_instances"] = layout_instances
     oracles["layout_instances"] = instances_oracle()
+
+    # SLANet table-structure decode over merged <table> blocks (§2.7)
+    from .pipeline.tables import TABLE_CELLS_ORACLE, table_cells
+
+    queries["table_cells"] = table_cells
+    oracles["table_cells"] = TABLE_CELLS_ORACLE
 
     # relational
     for name, (fn, oracle) in relational.RELATIONAL_QUERIES.items():
