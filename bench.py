@@ -95,7 +95,9 @@ def main() -> None:
         return best
 
     # --- headline: extraction throughput --------------------------------
-    pages = pages_from_documents(spark, SF_DIR, copies=COPIES, n_partitions=CPUS * 4)
+    # many waves per core: skew pages are ~80x median weight, so coarse
+    # partitions leave straggler idle-tails (see scripts/bench_scaling.py)
+    pages = pages_from_documents(spark, SF_DIR, copies=COPIES, n_partitions=CPUS * 16)
     pages.persist()
     stats = pages.agg(
         F.count(F.lit(1)).alias("n"), F.sum(F.octet_length("html")).alias("b")

@@ -112,3 +112,64 @@ def test_stray_end_tags_do_not_underflow():
     html = "</div></nav></footer><p>fine</p>"
     b = blocks_of(html)
     assert b[0].text == "fine" and not b[0].boilerplate_ancestor
+
+
+ADVERSARIAL_HTML = [
+    "",
+    "plain text no markup at all",
+    "<p>unclosed",
+    "<p>trunc &am",
+    "<p>a &amp; b &lt;c&gt; &#65; &unknown; d</p>",
+    "</p></div><p>stray closes</p>",
+    "<table><td>never closed",
+    "\x00\x01<p>binary noise</p>",
+    "<p>bare < less-than</p>",
+    "<p>3 < 5 and 7 > 2</p>",
+    "<!-- comment <p>not a block</p> --><p>real</p>",
+    "<!DOCTYPE html><?xml version='1.0'?><p>after decls</p>",
+    '<script>var a = "<p>fake</p>";</script><p>kept</p>',
+    "<style>p { color: red }</style><p>styled</p>",
+    "<script>never closed <p>swallowed",
+    "<P CLASS='AD'>upper tag</P>",
+    '<div class="sidebar"><div>x</div><p>inner</p></div><p>outer</p>',
+    '<img class="ad"><p>after void</p>',
+    '<div class="promo"/><p>after self-closing</p>',
+    "<p>a<br>b<br/>c</p>",
+    '<a href="/x">link text</a><p>mixed <a href=y>inner link</a> tail</p>',
+    '<p class="a&amp;b">entity in class</p>',
+    "<ul><li>one<li>two</ul>",
+    "<p>multi\n  line\t text  </p>",
+    "<h1>T</h1><table><tr><td>c1</td><td>c2</td></tr></table>",
+    "<p >space before gt</p >",
+    "<p><></p>",
+    "<p>emoji \U0001f600 &#128512;</p>",
+]
+
+
+def _block_key(b):
+    return (b.tag, b.text, b.link_chars, b.boilerplate_ancestor)
+
+
+def test_fast_tokenizer_matches_stdlib_on_adversarial_corpus():
+    from usls_doc_spark.kernels.boilerplate import parse_blocks, parse_blocks_stdlib
+
+    for html in ADVERSARIAL_HTML:
+        fast = [_block_key(b) for b in parse_blocks(html)]
+        slow = [_block_key(b) for b in parse_blocks_stdlib(html)]
+        assert fast == slow, f"divergence on {html!r}:\n fast={fast}\n slow={slow}"
+
+
+def test_fast_tokenizer_matches_stdlib_on_all_synth_pages():
+    import duckdb
+
+    from usls_doc_spark.io.synth import synth_page
+    from usls_doc_spark.kernels.boilerplate import parse_blocks, parse_blocks_stdlib
+
+    docs = duckdb.sql(
+        "SELECT doc_id, text, lang FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    for doc_id, text, lang in docs:
+        html = synth_page(doc_id, text, lang)["html"].decode()
+        fast = [_block_key(b) for b in parse_blocks(html)]
+        slow = [_block_key(b) for b in parse_blocks_stdlib(html)]
+        assert fast == slow, f"divergence on doc {doc_id}"

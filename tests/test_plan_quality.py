@@ -94,3 +94,13 @@ def test_minhash_join_is_not_cartesian(spark):
     _register_views(spark, SF_DIR)
     plan = plan_of(spark.sql(TEXT_QUERIES["dedup_minhash_lsh"](SPARK)))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_extract_text_prunes_blocks_at_udf_boundary(spark):
+    """Catalyst can't prune through mapInPandas; the columns= projection
+    must keep the heavy blocks struct out of the UDF's Arrow output."""
+    from usls_doc_spark.queries import extract_text
+
+    df = extract_text(spark, SF_DIR)
+    assert set(df.schema.fieldNames()) == {"url", "extracted_text"}
+    assert "blocks" not in plan_of(df)

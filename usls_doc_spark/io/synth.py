@@ -150,5 +150,8 @@ def pages_from_documents(spark, sf_dir: str, copies: int = 1, n_partitions: int 
         ).select(
             (F.col("doc_id") + F.col("c") * F.lit(10_000_000)).alias("doc_id"), "text", "lang"
         )
-    nparts = n_partitions or spark.sparkContext.defaultParallelism * 2
+    # default 8 waves per core: the skew population (doc_id%47, ~80x median
+    # html weight) makes coarse partitions straggle — finer tasks keep
+    # end-of-stage idle tails short (measured in scripts/bench_scaling.py)
+    nparts = n_partitions or spark.sparkContext.defaultParallelism * 8
     return docs.repartition(nparts, "doc_id").mapInPandas(_synth_batch, schema=PAGES_SCHEMA)

@@ -19,10 +19,15 @@ float32; whitespace normalized with str.split()/join.
 
 from __future__ import annotations
 
+import os
+import re
 from dataclasses import dataclass, field
+from html import unescape
 from html.parser import HTMLParser
 
 import numpy as np
+
+_USE_SLOW_PARSER = os.environ.get("USLS_SLOW_PARSER", "") == "1"
 
 # tags whose text forms one extractable block
 BLOCK_TAGS = frozenset(
@@ -147,16 +152,107 @@ class _BlockParser(HTMLParser):
             blk.link_chars += len(" ".join(data.split()))
 
 
+# ---------------------------------------------------------------------------
+# fast tokenizer: single-pass regex scan driving the SAME handler callbacks
+# as stdlib html.parser (which spends ~60% of extraction time in its
+# char-by-char goahead loop). Byte-identical block output is enforced by
+# tests/test_boilerplate_parser.py differential tests over all fixture pages
+# and an adversarial corpus; USLS_SLOW_PARSER=1 forces the stdlib path.
+# ---------------------------------------------------------------------------
+
+_TAG_RE = re.compile(
+    r"<(?P<end>/)?(?P<name>[a-zA-Z][a-zA-Z0-9-]*)"
+    r"(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"
+    r">"
+)
+_CLASS_RE = re.compile(
+    r"""[\s"']class\s*=\s*("([^"]*)"|'([^']*)'|([^\s>/]+))""", re.IGNORECASE
+)
+_SKIP_CLOSE_RES = {
+    t: re.compile(f"</{t}", re.IGNORECASE) for t in SKIP_CONTENT_TAGS
+}
+
+
+def _emit_data(p: _BlockParser, s: str) -> None:
+    if s:
+        p.handle_data(unescape(s) if "&" in s else s)
+
+
+def _fast_feed(p: _BlockParser, html: str) -> None:
+    i, n = 0, len(html)
+    find = html.find
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            _emit_data(p, html[i:])
+            return
+        if lt > i:
+            _emit_data(p, html[i:lt])
+        if html.startswith("<!--", lt):
+            end = find("-->", lt + 4)
+            i = n if end < 0 else end + 3
+            continue
+        nxt = html[lt + 1] if lt + 1 < n else ""
+        if nxt in ("!", "?"):
+            end = find(">", lt + 2)
+            i = n if end < 0 else end + 1
+            continue
+        m = _TAG_RE.match(html, lt)
+        if not m:
+            _emit_data(p, "<")  # recovery: bare '<' is text
+            i = lt + 1
+            continue
+        name = m.group("name").lower()
+        i = m.end()
+        if m.group("end"):
+            p.handle_endtag(name)
+            continue
+        attrs_s = m.group("attrs")
+        attrs: list[tuple[str, str]] = []
+        if attrs_s and "class" in attrs_s.lower():
+            cm = _CLASS_RE.search(attrs_s)
+            if cm:
+                val = cm.group(2) or cm.group(3) or cm.group(4) or ""
+                attrs = [("class", unescape(val) if "&" in val else val)]
+        p.handle_starttag(name, attrs)
+        if attrs_s.rstrip().endswith("/"):
+            p.handle_endtag(name)
+        elif name in SKIP_CONTENT_TAGS:
+            # CDATA mode: raw content until the matching close tag
+            cm2 = _SKIP_CLOSE_RES[name].search(html, i)
+            if cm2 is None:
+                return  # unclosed script/style swallows the rest (skip mode)
+            gt = find(">", cm2.end())
+            p.handle_endtag(name)
+            i = n if gt < 0 else gt + 1
+
+
 def parse_blocks(html: str) -> list[Block]:
     """Parse HTML into ordered text blocks. Malformed HTML degrades to
     whatever blocks were recoverable (never raises)."""
+    p = _BlockParser()
+    try:
+        if _USE_SLOW_PARSER:
+            p.feed(html)
+            p.close()
+        else:
+            _fast_feed(p, html)
+    except Exception:
+        pass
+    while p._open:  # flush unclosed blocks (malformed html)
+        p._end_block()
+    return p.blocks
+
+
+def parse_blocks_stdlib(html: str) -> list[Block]:
+    """Reference stdlib-html.parser path (the differential-test oracle)."""
     p = _BlockParser()
     try:
         p.feed(html)
         p.close()
     except Exception:
         pass
-    while p._open:  # flush unclosed blocks (malformed html)
+    while p._open:
         p._end_block()
     return p.blocks
 

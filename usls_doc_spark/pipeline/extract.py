@@ -38,11 +38,16 @@ from ..kernels.yolo_decode import abandon_filter_and_round, decode_preds
 # per-stage profiling the reference keeps in its Ts accumulator
 # (src/misc/ts.rs:5-20,49-112), carried as data so per-partition lineage can
 # aggregate it without a second pass.
-EXTRACT_SCHEMA = (
-    "url string, extracted_text string, n_blocks int, extracted_bytes bigint, "
-    "blocks array<struct<x:int,y:int,width:int,height:int,cls:string,conf:float,order:int>>, "
-    "error string, elapsed_us bigint"
-)
+_FIELD_TYPES = {
+    "url": "string",
+    "extracted_text": "string",
+    "n_blocks": "int",
+    "extracted_bytes": "bigint",
+    "blocks": "array<struct<x:int,y:int,width:int,height:int,cls:string,conf:float,order:int>>",
+    "error": "string",
+    "elapsed_us": "bigint",
+}
+EXTRACT_SCHEMA = ", ".join(f"{c} {t}" for c, t in _FIELD_TYPES.items())
 
 SEP = " "  # span-assembly separator (STRING_AGG parity; SURVEY.md §2.8)
 
@@ -104,32 +109,56 @@ def extract_page(html_bytes: bytes | None, url: str, model: StubLayoutModel) -> 
         }
 
 
-def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body. The model is constructed once per task (the
-    broadcast-once / lazy-singleton pattern of engine.rs:76-145; the stub has
-    no weights, the ONNX variant caches its session at module level)."""
+def _extract_batch_fn(cols: list[str]):
+    """mapInPandas body emitting exactly ``cols``. The model is constructed
+    once per task (the broadcast-once / lazy-singleton pattern of
+    engine.rs:76-145; the stub has no weights, the ONNX variant caches its
+    session at module level)."""
     import time
 
-    model = StubLayoutModel()
-    for pdf in batches:
-        t0 = time.monotonic_ns()
-        rows = [
-            extract_page(h, u, model)
-            for h, u in zip(pdf["html"].to_numpy(), pdf["url"].to_numpy())
-        ]
-        share = ((time.monotonic_ns() - t0) // 1000) // max(len(rows), 1)
-        out = pd.DataFrame(
-            rows,
-            columns=["url", "extracted_text", "n_blocks", "extracted_bytes", "blocks", "error"],
-        )
-        out["elapsed_us"] = share
-        yield out
+    data_cols = [c for c in cols if c != "elapsed_us"]
+
+    def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = StubLayoutModel()
+        for pdf in batches:
+            t0 = time.monotonic_ns()
+            rows = [
+                extract_page(h, u, model)
+                for h, u in zip(pdf["html"].to_numpy(), pdf["url"].to_numpy())
+            ]
+            share = ((time.monotonic_ns() - t0) // 1000) // max(len(rows), 1)
+            out = pd.DataFrame(
+                [[r[c] for c in data_cols] for r in rows], columns=data_cols
+            )
+            if "elapsed_us" in cols:
+                out["elapsed_us"] = share
+            yield out
+
+    return extract_batch
 
 
-def extract_pages(pages_df):
+extract_batch = _extract_batch_fn(list(_FIELD_TYPES))  # full-schema body
+
+
+def extract_pages(pages_df, columns: list[str] | None = None):
     """pages DataFrame -> extraction DataFrame (lazy; no action triggered).
 
     Selects only (url, html) first so the parquet scan prunes columns
     (ReadSchema shows 2 of 5 columns — SURVEY.md §4 'free from Catalyst').
+
+    ``columns`` is the UDF-boundary analogue of column pruning: Catalyst
+    cannot prune THROUGH an opaque mapInPandas stage, so a caller that only
+    needs (url, extracted_text) passes them here and the heavy ``blocks``
+    struct array never crosses the Arrow JVM<->Python boundary at all.
     """
-    return pages_df.select("url", "html").mapInPandas(extract_batch, schema=EXTRACT_SCHEMA)
+    if columns is None:
+        cols = list(_FIELD_TYPES)
+    else:
+        unknown = set(columns) - set(_FIELD_TYPES)
+        if unknown:
+            raise ValueError(f"unknown extract columns: {sorted(unknown)}")
+        cols = [c for c in _FIELD_TYPES if c in set(columns)]
+    schema = ", ".join(f"{c} {_FIELD_TYPES[c]}" for c in cols)
+    return pages_df.select("url", "html").mapInPandas(
+        _extract_batch_fn(cols), schema=schema
+    )

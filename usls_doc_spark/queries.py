@@ -51,7 +51,8 @@ def extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter -> XY-cut -> span assembly. Oracle states the generator invariant
     extracted_text == 'Doc {doc_id} ' + text (io/synth.py)."""
     pages = pages_from_documents(spark, sf_dir)
-    return extract_pages(pages).select("url", "extracted_text")
+    # explicit UDF-boundary projection: the blocks struct never crosses Arrow
+    return extract_pages(pages, columns=["url", "extracted_text"])
 
 
 EXTRACT_TEXT_ORACLE = """
@@ -63,7 +64,7 @@ FROM documents
 
 def extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(spark, sf_dir)
-    return extract_pages(pages).select("url", "n_blocks", "extracted_bytes")
+    return extract_pages(pages, columns=["url", "n_blocks", "extracted_bytes"])
 
 
 EXTRACT_METRICS_ORACLE = f"""
