@@ -173,3 +173,39 @@ def test_fast_tokenizer_matches_stdlib_on_all_synth_pages():
         fast = [_block_key(b) for b in parse_blocks(html)]
         slow = [_block_key(b) for b in parse_blocks_stdlib(html)]
         assert fast == slow, f"divergence on doc {doc_id}"
+
+
+def test_fast_tokenizer_fuzz_differential():
+    """Property: on ANY string assembled from html-ish fragments, the fast
+    tokenizer and stdlib html.parser produce identical block lists."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from usls_doc_spark.kernels.boilerplate import parse_blocks, parse_blocks_stdlib
+
+    fragments = st.sampled_from(
+        [
+            "<p>", "</p>", "<div>", "</div>", "<li>", "</li>",
+            '<div class="sidebar">', '<p class="ad">', "<nav>", "</nav>",
+            "<a href='/x'>", "</a>", "<img class='banner'>", "<br>", "<br/>",
+            "<table>", "</table>", "<td>", "</td>", "<tr>", "</tr>",
+            "<h1>", "</h1>", "<script>", "</script>", "<style>", "</style>",
+            "<!-- c -->", "<!", "<!DOCTYPE html>", "<?pi?>",
+            "text ", "words here ", "&amp;", "&lt;", "&#65;", "&bogus;",
+            "<", ">", "&", "  ", "\n", "\t", "<p", "p>", "</", "/>",
+            "<P CLASS='MENU'>", "<span>", "</span>", "quoted='>'",
+        ]
+    )
+    texts = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=12
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.one_of(fragments, texts), max_size=30))
+    def check(parts):
+        html = "".join(parts)
+        fast = [_block_key(b) for b in parse_blocks(html)]
+        slow = [_block_key(b) for b in parse_blocks_stdlib(html)]
+        assert fast == slow, f"divergence on {html!r}"
+
+    check()

@@ -160,11 +160,22 @@ class _BlockParser(HTMLParser):
 # and an adversarial corpus; USLS_SLOW_PARSER=1 forces the stdlib path.
 # ---------------------------------------------------------------------------
 
+# WELL-FORMED tag grammar only: simple name, whitespace-separated attrs with
+# quoted or plain bare values. Anything outside this subset (stray quotes in
+# attr names, '<' inside tags, '/' not before '>', junk in end tags, ...)
+# raises _FallbackToStdlib and the WHOLE page re-parses through stdlib
+# html.parser — its tolerant-recovery grammar has too many quirks to
+# replicate safely, and real pages that trip it are rare, so correctness is
+# guaranteed by construction and speed preserved for the common case.
 _TAG_RE = re.compile(
-    r"<(?P<end>/)?(?P<name>[a-zA-Z][a-zA-Z0-9-]*)"
-    r"(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"
-    r">"
+    r"<(?P<end>/)?(?P<name>[a-zA-Z][a-zA-Z0-9:._-]*)"
+    r"(?P<attrs>(?:\s+[^\s/>='\"`]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>'\"`=]*))?)*)"
+    r"\s*(?P<slash>/?)>"
 )
+
+
+class _FallbackToStdlib(Exception):
+    """Markup outside the fast tokenizer's well-formed subset."""
 _CLASS_RE = re.compile(
     r"""[\s"']class\s*=\s*("([^"]*)"|'([^']*)'|([^\s>/]+))""", re.IGNORECASE
 )
@@ -190,21 +201,48 @@ def _fast_feed(p: _BlockParser, html: str) -> None:
             _emit_data(p, html[i:lt])
         if html.startswith("<!--", lt):
             end = find("-->", lt + 4)
-            i = n if end < 0 else end + 3
+            if end < 0:  # unterminated comment: close() flushes it as data
+                _emit_data(p, html[lt:])
+                return
+            i = end + 3
             continue
         nxt = html[lt + 1] if lt + 1 < n else ""
         if nxt in ("!", "?"):
             end = find(">", lt + 2)
-            i = n if end < 0 else end + 1
+            if end < 0:  # unterminated decl/PI: flushed as data at close()
+                _emit_data(p, html[lt:])
+                return
+            i = end + 1
             continue
-        m = _TAG_RE.match(html, lt)
-        if not m:
+        is_letter = "a" <= nxt <= "z" or "A" <= nxt <= "Z"
+        if nxt == "/" and not (
+            lt + 2 < n and ("a" <= html[lt + 2] <= "z" or "A" <= html[lt + 2] <= "Z")
+        ):
+            # '</' + non-name: html.parser consumes it as a bogus comment
+            # (up to and including the next '>'), emitting nothing; if no
+            # '>' follows, close() flushes the remainder as data
+            end = find(">", lt + 2)
+            if end < 0:
+                _emit_data(p, html[lt:])
+                return
+            i = end + 1
+            continue
+        if not is_letter and nxt != "/":
             _emit_data(p, "<")  # recovery: bare '<' is text
             i = lt + 1
             continue
+        m = _TAG_RE.match(html, lt)
+        if not m:
+            if find(">", lt) < 0:
+                # incomplete tag at EOF: close() flushes it as data
+                _emit_data(p, html[lt:])
+                return
+            raise _FallbackToStdlib  # tag outside the well-formed subset
         name = m.group("name").lower()
         i = m.end()
         if m.group("end"):
+            if m.group("attrs").strip() or m.group("slash"):
+                raise _FallbackToStdlib  # junk inside an end tag
             p.handle_endtag(name)
             continue
         attrs_s = m.group("attrs")
@@ -215,7 +253,7 @@ def _fast_feed(p: _BlockParser, html: str) -> None:
                 val = cm.group(2) or cm.group(3) or cm.group(4) or ""
                 attrs = [("class", unescape(val) if "&" in val else val)]
         p.handle_starttag(name, attrs)
-        if attrs_s.rstrip().endswith("/"):
+        if m.group("slash"):
             p.handle_endtag(name)
         elif name in SKIP_CONTENT_TAGS:
             # CDATA mode: raw content until the matching close tag
@@ -229,14 +267,15 @@ def _fast_feed(p: _BlockParser, html: str) -> None:
 
 def parse_blocks(html: str) -> list[Block]:
     """Parse HTML into ordered text blocks. Malformed HTML degrades to
-    whatever blocks were recoverable (never raises)."""
+    whatever blocks were recoverable (never raises). Markup outside the
+    fast tokenizer's well-formed subset re-parses through stdlib."""
+    if _USE_SLOW_PARSER:
+        return parse_blocks_stdlib(html)
     p = _BlockParser()
     try:
-        if _USE_SLOW_PARSER:
-            p.feed(html)
-            p.close()
-        else:
-            _fast_feed(p, html)
+        _fast_feed(p, html)
+    except _FallbackToStdlib:
+        return parse_blocks_stdlib(html)
     except Exception:
         pass
     while p._open:  # flush unclosed blocks (malformed html)

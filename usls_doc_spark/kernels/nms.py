@@ -31,6 +31,18 @@ def nms_indices(boxes: np.ndarray, confs: np.ndarray, iou_threshold: float) -> n
         return np.empty(0, dtype=np.int64)
     order = np.argsort(-confs, kind="stable")
 
+    # Collapse EXACT duplicate boxes to their max-conf instance (stable).
+    # Equivalent under greedy NMS for thr < 1: a duplicate has IoU 1.0 with
+    # its twin (suppressed if the twin is kept) and identical IoUs against
+    # every other box (suppressed by exactly the same kept boxes if the
+    # twin was dropped) — so it can never be kept and never affects other
+    # decisions. Duplicate anchors are the common case (the stub emits 2
+    # identical anchors per block).
+    if iou_threshold < 1.0:
+        _, first_idx = np.unique(boxes[order], axis=0, return_index=True)
+        order = order[np.sort(first_idx)]
+        n = len(order)
+
     if n <= 512:
         # small-n fast path: one n x n IoU matrix (the dominant cost at
         # typical page box counts is per-call numpy overhead, not FLOPs)
@@ -38,6 +50,11 @@ def nms_indices(boxes: np.ndarray, confs: np.ndarray, iou_threshold: float) -> n
 
         ious = iou_matrix(boxes[order], boxes[order])
         suppress = ious > np.float32(iou_threshold)
+        np.fill_diagonal(suppress, False)
+        if not suppress.any():
+            # no pair conflicts (disjoint flow layouts — the common page):
+            # greedy NMS keeps everything, no sequential pass needed
+            return order
         kept_mask = np.zeros(n, dtype=bool)
         kept_small: list[int] = []
         for i in range(n):
@@ -45,18 +62,6 @@ def nms_indices(boxes: np.ndarray, confs: np.ndarray, iou_threshold: float) -> n
                 kept_mask[i] = True
                 kept_small.append(i)
         return order[np.asarray(kept_small, dtype=np.int64)]
-
-    # large-n path: first collapse EXACT duplicate boxes to their max-conf
-    # instance (stable). Equivalent under greedy NMS for thr < 1: a
-    # duplicate has IoU 1.0 with its twin (suppressed if the twin is kept)
-    # and identical IoUs against every other box (suppressed by exactly the
-    # same kept boxes if the twin was dropped) — so it can never be kept and
-    # never affects other decisions. Duplicate anchors are the common case
-    # on oversized pages (the stub emits 2 identical anchors per block).
-    if iou_threshold < 1.0:
-        _, first_idx = np.unique(boxes[order], axis=0, return_index=True)
-        order = order[np.sort(first_idx)]
-        n = len(order)
 
     b = boxes[order]
     x1 = b[:, 0]
