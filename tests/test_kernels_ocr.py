@@ -172,3 +172,25 @@ def test_ocr_page_roundtrips_uppercase_punct_and_long_chunks():
     assert texts[0] == "Hello, World! MIXED case & punct: (yes)."
     assert texts[1] == long_words
     assert len(long_words) > 256
+
+
+def test_ocr_batch_width_buckets_preserve_order():
+    """R2: recognition groups by width bucket across the Arrow batch but
+    output rows stay in (page, region) order with exact span text."""
+    import pandas as pd
+
+    from usls_doc_spark.pipeline.ocr import WIDTH_BUCKET, detect_page_regions, ocr_batch
+
+    short = "tiny"
+    long = "x" * 90  # 4*90+... > WIDTH_BUCKET/4? width = 4*n_chars -> 360 > 320
+    html1 = f"<html><body><p>{short}</p><p>{long}</p></body></html>".encode()
+    html2 = f"<html><body><p>{long}</p><p>{short}</p></body></html>".encode()
+    pdf = pd.DataFrame({"url": ["u1", "u2"], "html": [html1, html2]})
+    out = pd.concat(list(ocr_batch(iter([pdf]))))
+    assert list(out["url"]) == ["u1", "u1", "u2", "u2"]
+    assert list(out["region_id"]) == [0, 1, 0, 1]
+    assert list(out["span_text"]) == [short, long, long, short]
+    # the two lengths really land in different buckets
+    regs = detect_page_regions(html1, "u1")
+    assert regs[0]["bucket"] != regs[1]["bucket"]
+    assert regs[1]["width"] >= WIDTH_BUCKET

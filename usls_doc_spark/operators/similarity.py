@@ -77,11 +77,23 @@ WHERE rk <= 5
 """
 
 
+LABEL_CAP = 1024  # max vectors per label block entering the pair self-join
+
+
 def q_dedup_embedding_cosine(d: Dialect) -> str:
     """Near-duplicate vector pairs: blocked by label, cosine > 0.4.
 
     Same pre-normalized structure as ann_topk_cosine: norms once per
-    vector, dot once per blocked pair."""
+    vector, dot once per blocked pair.
+
+    Scale guard (round-1 VERDICT): a hot label is quadratic within its
+    block, so block membership is capped at LABEL_CAP via a deterministic
+    rank window (ordered by vec_id, identical in both dialects) BEFORE the
+    self-join — bounding any label's pair output at cap²/2. An LSH-bucket
+    secondary key was rejected: at the 0.4 cosine threshold sign-LSH
+    agreement per pair is only ~0.63 per plane, so even 6 planes would
+    silently drop ~94% of true pairs; the cap loses recall only beyond the
+    cap boundary and is exact below it."""
     from .dialect import dot64
 
     self_dot = dot64("embedding", "embedding", DIMS)(d)
@@ -90,10 +102,17 @@ def q_dedup_embedding_cosine(d: Dialect) -> str:
 WITH norms AS (
   SELECT vec_id, label, embedding, sqrt({self_dot}) AS nrm FROM embeddings
 ),
+capped AS (
+  SELECT vec_id, label, embedding, nrm FROM (
+    SELECT vec_id, label, embedding, nrm,
+           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS _rnk
+    FROM norms
+  ) t WHERE _rnk <= {LABEL_CAP}
+),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
          ({pair_dot}) / (a.nrm * b.nrm) AS sim
-  FROM norms a JOIN norms b
+  FROM capped a JOIN capped b
     ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, label, sim FROM pairs WHERE sim > 0.4

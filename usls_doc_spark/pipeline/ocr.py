@@ -11,10 +11,14 @@ verify -> min-size/conf filter -> CTC decode, SURVEY.md §2.5-2.6) runs for
 real on every span and the decoded text is independently checkable against
 the source documents (the DuckDB oracle states span == 8-word chunk).
 
-Width bucketing note (R2, svtr/config.rs:14-17): SVTR batches group crops
-by width bucket; here crops are processed per page so batching is the Arrow
-batch itself — a production ONNX recognizer would group by
-``width // 320`` inside the UDF before session.run.
+Width bucketing (R2, svtr/config.rs:14-17): recognition is batched ACROSS
+the whole Arrow batch, grouped by crop-width bucket (``width // 320``) —
+detection runs per page, recognition defers each region crop into its
+bucket, and one recognizer call serves each bucket (`recognize_bucket`,
+where a production ONNX SVTR would pad the bucket to a common width and
+issue a single session.run). Output rows re-assemble in (page, region)
+order, so the bucketing is invisible to results — the ocr_spans /
+ocr_regions_detail oracles pin that.
 """
 
 from __future__ import annotations
@@ -65,7 +69,12 @@ def stub_recognizer_logits(text: str) -> np.ndarray:
     return lg
 
 
-def ocr_page(html_bytes: bytes | None, url: str) -> list[dict]:
+WIDTH_BUCKET = 320  # svtr/config.rs:14-17 bucket granularity
+
+
+def detect_page_regions(html_bytes: bytes | None, url: str) -> list[dict]:
+    """DB-detect stage only: one pending record per text region, carrying
+    the crop geometry + source text for the deferred recognition stage."""
     if html_bytes is None:
         return []
     html = bytes(html_bytes).decode("utf-8", errors="replace")
@@ -83,31 +92,82 @@ def ocr_page(html_bytes: bytes | None, url: str) -> list[dict]:
             continue
         r = regions[0]
         x1, y1, x2, y2 = r["bbox"]
-        text = ctc_greedy_decode(
-            stub_recognizer_logits(blk.text), VOCAB, max_length=MAX_DECODE_LEN
-        )
+        width = int(round_half_away(np.float32(x2 - x1)))
         out.append(
             {
                 "url": url,
                 "region_id": region_id,
-                "span_text": text,
+                "crop_text": blk.text,
                 "x": int(round_half_away(np.float32(x1))),
                 "y": int(round_half_away(np.float32(y1))),
-                "width": int(round_half_away(np.float32(x2 - x1))),
+                "width": width,
                 "height": int(round_half_away(np.float32(y2 - y1))),
                 "conf": float(np.float32(r["conf"])),
+                "bucket": width // WIDTH_BUCKET,
             }
         )
         region_id += 1
     return out
 
 
+def recognize_bucket(crops: list[str]) -> list[str]:
+    """One recognizer invocation per width bucket (R2): a production SVTR
+    would pad these same-bucket crops to a common width and run ONE
+    session.run over the stacked tensor; the stub decodes each one-hot
+    logits block through the real CTC path."""
+    return [
+        ctc_greedy_decode(stub_recognizer_logits(t), VOCAB, max_length=MAX_DECODE_LEN)
+        for t in crops
+    ]
+
+
+def ocr_page(html_bytes: bytes | None, url: str) -> list[dict]:
+    """Single-page convenience path (tests): detect + recognize inline."""
+    pending = detect_page_regions(html_bytes, url)
+    texts = recognize_bucket([r["crop_text"] for r in pending])
+    out = []
+    for r, t in zip(pending, texts):
+        r = dict(r)
+        r.pop("crop_text")
+        r.pop("bucket")
+        r["span_text"] = t
+        out.append(r)
+    return out
+
+
 def ocr_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     cols = ["url", "region_id", "span_text", "x", "y", "width", "height", "conf"]
     for pdf in batches:
-        rows: list[dict] = []
+        # stage 1: detection per page, recognition deferred
+        pending: list[dict] = []
         for h, u in zip(pdf["html"].to_numpy(), pdf["url"].to_numpy()):
-            rows.extend(ocr_page(h, u))
+            pending.extend(detect_page_regions(h, u))
+        # stage 2: recognition batched per width bucket across the WHOLE
+        # Arrow batch (R2); results written back by index, so output order
+        # stays (page, region)
+        by_bucket: dict[int, list[int]] = {}
+        for idx, r in enumerate(pending):
+            by_bucket.setdefault(r["bucket"], []).append(idx)
+        texts: list[str | None] = [None] * len(pending)
+        for bucket in sorted(by_bucket):
+            idxs = by_bucket[bucket]
+            decoded = recognize_bucket([pending[i]["crop_text"] for i in idxs])
+            for i, t in zip(idxs, decoded):
+                texts[i] = t
+        rows = []
+        for r, t in zip(pending, texts):
+            rows.append(
+                {
+                    "url": r["url"],
+                    "region_id": r["region_id"],
+                    "span_text": t,
+                    "x": r["x"],
+                    "y": r["y"],
+                    "width": r["width"],
+                    "height": r["height"],
+                    "conf": r["conf"],
+                }
+            )
         yield pd.DataFrame(rows, columns=cols)
 
 
