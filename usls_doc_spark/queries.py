@@ -267,6 +267,13 @@ def build_registry() -> tuple[dict, dict]:
     queries["streaming_events_window"] = streaming_events_window
     oracles["streaming_events_window"] = STREAMING_ORACLE
 
+    # stateful streaming exact-dedup: converges to the batch dedup_exact
+    # answer (same oracle) across any micro-batch split
+    from .streaming.dedup import streaming_dedup_exact
+
+    queries["streaming_dedup_exact"] = streaming_dedup_exact
+    oracles["streaming_dedup_exact"] = TEXT_QUERIES["dedup_exact"](DUCK)
+
     # multimodal: oracle rebuilds the synthesized page bytes in SQL
     queries["multimodal_features"] = multimodal_features
     oracles["multimodal_features"] = MULTIMODAL_ORACLE

@@ -1,0 +1,96 @@
+"""Custom stateful streaming operator #2: streaming exact-dedup via
+``applyInPandasWithState`` — the streaming analogue of the batch
+dedup_exact query, maintaining per-key (canonical doc_id, member count)
+state across micro-batches.
+
+Why stateful and not dropDuplicates: dropDuplicates keeps an arbitrary
+first-arrival row (non-deterministic under re-partitioning), while this
+operator's outputs — canonical_id = min(doc_id) seen, n_members = arrival
+count — are order-insensitive FOLDS, so the drained stream converges to
+exactly the batch answer at any parallelism or micro-batch split (the
+determinism contract every operator in this repo obeys). The oracle is the
+SAME SQL as dedup_exact (operators/text_queries.py).
+
+State per dup_key (md5 of the first-3-word normalized key): (min doc_id,
+count). Update-mode memory sink appends one row per key per trigger;
+`streaming_dedup_exact` folds those updates (min/max — both monotone) so
+the returned batch DataFrame is exact even across multiple triggers.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+# the SPARK-dialect rendering of dedup_exact's key (text_queries.q_dedup_exact)
+DUP_KEY_EXPR = "md5(array_join(slice(split(text, ' '), 1, 3), ' '))"
+
+OUTPUT_SCHEMA = "dup_key string, canonical_id bigint, n_members bigint"
+STATE_SCHEMA = "canonical_id bigint, n_members bigint"
+
+_QUERY_NAME = "usls_stream_dedup_exact"
+
+
+def _dedup_group(key, pdfs, state: GroupState):
+    canonical, n = state.get if state.exists else (None, 0)
+    for pdf in pdfs:
+        if len(pdf):
+            m = int(pdf["doc_id"].min())
+            canonical = m if canonical is None else min(canonical, m)
+            n += len(pdf)
+    state.update((canonical, n))
+    yield pd.DataFrame(
+        [(key[0], canonical, n)],
+        columns=["dup_key", "canonical_id", "n_members"],
+    )
+
+
+def start_streaming_dedup(spark: SparkSession, docs_dir: str, query_name: str = _QUERY_NAME,
+                          max_files: int = 1, glob: str = "documents.parquet"):
+    """Start the stateful dedup stream over parquet document files."""
+    for q in spark.streams.active:
+        if q.name == query_name:
+            q.stop()
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .option("pathGlobFilter", glob)
+        .parquet(docs_dir)
+    )
+    keyed = stream.select(F.expr(DUP_KEY_EXPR).alias("dup_key"), "doc_id")
+    out = keyed.groupBy("dup_key").applyInPandasWithState(
+        _dedup_group,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the stream, fold the update rows, return duplicate groups —
+    exactly the batch dedup_exact answer (same oracle SQL)."""
+    q = start_streaming_dedup(spark, sf_dir)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    updates = spark.table(_QUERY_NAME)
+    return (
+        updates.groupBy("dup_key")
+        .agg(
+            F.min("canonical_id").alias("canonical_id"),  # monotone non-increasing
+            F.max("n_members").alias("n_members"),  # monotone non-decreasing
+        )
+        .filter(F.col("n_members") > 1)
+    )
