@@ -104,3 +104,25 @@ def test_extract_text_prunes_blocks_at_udf_boundary(spark):
     df = extract_text(spark, SF_DIR)
     assert set(df.schema.fieldNames()) == {"url", "extracted_text"}
     assert "blocks" not in plan_of(df)
+
+
+def test_layout_instances_scan_prunes_to_doc_id(spark):
+    from usls_doc_spark.operators.instances_query import layout_instances
+
+    plan = plan_of(layout_instances(spark, SF_DIR))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read and "text" not in read and "lang" not in read
+
+
+def test_table_cells_prefilters_before_arrow(spark):
+    """The coarse '<table' predicate must sit JVM-side under the UDF so
+    3/4 of pages never cross into python."""
+    from usls_doc_spark.pipeline.tables import table_cells
+
+    plan = plan_of(table_cells(spark, SF_DIR))
+    ipos = plan.find("MapInPandas")
+    fpos = plan.find("Contains")
+    assert ipos != -1 and fpos != -1
+    # physical plans print children BELOW their parents: the filter line
+    # must appear after (= beneath) the MapInPandas operator
+    assert fpos > ipos

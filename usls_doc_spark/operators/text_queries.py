@@ -144,6 +144,34 @@ HAVING count(*) > 1
 """
 
 
+def q_dedup_incremental(d: Dialect) -> str:
+    """Incremental-ingest dedup: a NEW batch (doc_id % 5 = 4 stands in for
+    the latest crawl snapshot) anti-joined on exact content key against the
+    EXISTING corpus — the shape a 100 TB pipeline runs per snapshot instead
+    of re-deduping the whole corpus (one equi-key anti-join; the corpus
+    side is pre-aggregated to distinct keys so the join input is keys, not
+    rows). Survivors additionally self-dedup within the batch (keep min
+    doc_id per key), so output is exactly the rows a merge would append.
+    """
+    w = _words(d)
+    key = d.md5(d.array_join(_slice(d, "ws", 1, 3)))
+    return f"""
+WITH keys AS (
+  SELECT doc_id, lang, {key} AS dup_key
+  FROM (SELECT doc_id, lang, {w} AS ws FROM documents)
+),
+corpus AS (SELECT DISTINCT dup_key FROM keys WHERE doc_id % 5 <> 4),
+newbatch AS (SELECT doc_id, lang, dup_key FROM keys WHERE doc_id % 5 = 4),
+survivors AS (
+  SELECT nb.doc_id, nb.lang, nb.dup_key,
+         row_number() OVER (PARTITION BY nb.dup_key ORDER BY nb.doc_id) AS _rk
+  FROM newbatch nb
+  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.dup_key = nb.dup_key)
+)
+SELECT doc_id, lang, dup_key FROM survivors WHERE _rk = 1
+"""
+
+
 BAND_CAP = 64  # max docs per (band, band_key) bucket entering the self-join
 
 
@@ -407,6 +435,7 @@ FROM codes
 TEXT_QUERIES = {
     "corpus_curation": q_corpus_curation,
     "fingerprint_rolling_hash": q_rolling_hash,
+    "dedup_incremental": q_dedup_incremental,
     "text_stats": q_text_stats,
     "token_count_bpe": q_token_count_bpe,
     "lang_detect_stopwords": q_lang_detect,
