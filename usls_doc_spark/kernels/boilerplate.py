@@ -98,8 +98,13 @@ class _BlockParser(HTMLParser):
         if tag in SKIP_CONTENT_TAGS:
             self._skip_depth += 1
             return
-        classes = set((dict(attrs).get("class") or "").lower().split())
-        is_bp = tag in BOILERPLATE_ANCESTOR_TAGS or bool(classes & BOILERPLATE_CLASS_HINTS)
+        if attrs:
+            classes = set((dict(attrs).get("class") or "").lower().split())
+            is_bp = tag in BOILERPLATE_ANCESTOR_TAGS or bool(
+                classes & BOILERPLATE_CLASS_HINTS
+            )
+        else:  # the common case: no attributes -> no class hints to check
+            is_bp = tag in BOILERPLATE_ANCESTOR_TAGS
         if tag not in VOID_TAGS:
             self._elem_stack.append((tag, is_bp))
             if is_bp:
