@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship extraction pipeline on sf0.001;
 ``queries()`` exposes every implemented operator (SURVEY.md §2 rebuild +
 training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-every query — round 2: all 42 registry entries carry a full hash oracle
+every query — round 2: all 43 registry entries carry a full hash oracle
 (stub-model geometry via pinned tables, multimodal via SQL page-byte
 reconstruction).
 """

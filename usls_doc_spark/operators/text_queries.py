@@ -144,6 +144,53 @@ HAVING count(*) > 1
 """
 
 
+def q_quality_ngram_familiarity(d: Dialect) -> str:
+    """Corpus-statistical quality score: per-document mean corpus frequency
+    of its char trigrams — the cheap analogue of an LM-perplexity filter
+    (docs full of corpus-rare character sequences score low; boilerplate
+    and natural prose score high). Two-stage shape that scales:
+
+      scan -> explode trigrams (single-pass char split, O(L) — element_at
+      on the codes array, never substr-at-i) -> COUNT per trigram (alphabet
+      is ~|charset|³ keys, a broadcastable side at any corpus size) ->
+      join back -> per-doc integer fold.
+
+    Float discipline: the score is (10⁶ × Σ corpus_count(t_i)) / (L ×
+    total_trigrams) — EXACT integer arithmetic until one final division,
+    so it is association-free and bit-identical in both engines under any
+    partitioning."""
+    if d.name == "spark":
+        tg = (
+            "transform(sequence(1, greatest(length(text) - 2, 0)), i -> "
+            "concat(element_at(cs, i), element_at(cs, i + 1), element_at(cs, i + 2)))"
+        )
+        cs = "split(text, '')"
+        explode = "LATERAL VIEW explode(tgs) x AS t"
+    else:
+        tg = (
+            "[cs[i] || cs[i + 1] || cs[i + 2] "
+            "for i in range(1, greatest(length(text) - 2, 0) + 1)]"
+        )
+        cs = "string_split(text, '')"
+        explode = ", unnest(tgs) AS x(t)"
+    return f"""
+WITH tg AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id, {tg} AS tgs
+        FROM (SELECT doc_id, text, {cs} AS cs FROM documents)) src
+  {explode}
+),
+cnt AS (SELECT t, count(*) AS c FROM tg GROUP BY t),
+tot AS (SELECT count(*) AS n FROM tg)
+SELECT tg.doc_id,
+       count(*) AS n_trigrams,
+       CAST(1000000 * sum(cnt.c) AS DOUBLE)
+         / (count(*) * (SELECT n FROM tot)) AS familiarity
+FROM tg JOIN cnt ON tg.t = cnt.t
+GROUP BY tg.doc_id
+"""
+
+
 def q_dedup_incremental(d: Dialect) -> str:
     """Incremental-ingest dedup: a NEW batch (doc_id % 5 = 4 stands in for
     the latest crawl snapshot) anti-joined on exact content key against the
@@ -436,6 +483,7 @@ TEXT_QUERIES = {
     "corpus_curation": q_corpus_curation,
     "fingerprint_rolling_hash": q_rolling_hash,
     "dedup_incremental": q_dedup_incremental,
+    "quality_ngram_familiarity": q_quality_ngram_familiarity,
     "text_stats": q_text_stats,
     "token_count_bpe": q_token_count_bpe,
     "lang_detect_stopwords": q_lang_detect,
