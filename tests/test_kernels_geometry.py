@@ -159,3 +159,31 @@ def test_xycut_deterministic_tiebreak():
     # overlapping boxes (no gaps): leaf order (y, x, index)
     boxes = np.array([[10, 10, 50, 50], [10, 10, 50, 50], [5, 10, 50, 50]])
     assert xycut_order(boxes).tolist() == [2, 0, 1]
+
+
+def test_letterbox_image_raster_semantics():
+    """P1-P3 raster path: resize to round(dim*r), pad value 114, corner or
+    centered placement (ops.rs:382-450 single-plane semantics)."""
+    import numpy as np
+
+    from usls_doc_spark.kernels.letterbox import letterbox_image, letterbox_spec
+
+    plane = np.arange(36 * 52, dtype=np.uint8).reshape(36, 52)
+    # corner placement: resized content top-left, pad right/bottom
+    spec = letterbox_spec(36, 52, 64, 64, center=False)
+    out = letterbox_image(plane, spec)
+    assert out.shape == (64, 64) and out.dtype == np.uint8
+    rw = int(round(52 * spec.ratio))
+    rh = int(round(36 * spec.ratio))
+    assert rw == 64  # width-limited
+    assert (out[rh:, :] == 114).all()  # bottom pad strip
+    assert not (out[:rh, :rw] == 114).all()
+    # identity resize: same dims -> pixels unchanged
+    spec_id = letterbox_spec(36, 52, 36, 52, center=False)
+    assert (letterbox_image(plane, spec_id) == plane).all()
+    # centered placement: pad split between top and bottom
+    spec_c = letterbox_spec(36, 52, 64, 64, center=True)
+    out_c = letterbox_image(plane, spec_c)
+    top = spec_c.pad_top
+    assert top > 0 and (out_c[:top, :] == 114).all()
+    assert (out_c[top + rh:, :] == 114).all()

@@ -74,6 +74,25 @@ def boxes_to_original(boxes_xywh: np.ndarray, spec: LetterboxSpec) -> np.ndarray
     return b
 
 
+def letterbox_image(plane_u8: np.ndarray, spec: LetterboxSpec, pad_value: int = 114) -> np.ndarray:
+    """P1-P3 RASTER path for one u8 plane (the pixel application of the
+    coordinate math above): resize to (round(h0·r), round(w0·r)) with the
+    exact-u8 bilinear kernel (ops.resize_luma8_u8), then pad the th×tw
+    canvas with 114 (ops.rs:382-450 letterbox semantics; pad default
+    options.rs:139). All-integer output, so downstream checks (pixel
+    checksums) are exact in any engine."""
+    from .ops import resize_luma8_u8
+
+    plane = np.asarray(plane_u8, dtype=np.uint8)
+    r = np.float32(spec.ratio)
+    w = int(np.rint(np.float32(spec.w0) * r))
+    h = int(np.rint(np.float32(spec.h0) * r))
+    canvas = np.full((spec.th, spec.tw), np.uint8(pad_value), dtype=np.uint8)
+    resized = resize_luma8_u8(plane, h, w)
+    canvas[spec.pad_top : spec.pad_top + h, spec.pad_left : spec.pad_left + w] = resized
+    return canvas
+
+
 def scale_wh(w0: float, h0: float, w1: float, h1: float) -> tuple[float, float, float]:
     """Ref: Ops::scale_wh ops.rs:192-196 — ratio and scaled dims."""
     r = min(w1 / w0, h1 / h0)

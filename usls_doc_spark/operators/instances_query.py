@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 
 from ..kernels.instances import decode_instance_mask, decode_keypoints, decode_obb
+from ..kernels.letterbox import letterbox_image, letterbox_spec
 
 N_CLASSES = 64
 KP_CONF_THRESH = 0.5
@@ -35,8 +36,12 @@ INSTANCES_SCHEMA = (
     "x1 float, y1 float, x2 float, y2 float, "
     "x3 float, y3 float, x4 float, y4 float, "
     "n_valid_kpts int, kp0_x float, kp0_y float, "
-    "mask_area bigint, poly_len int"
+    "mask_area bigint, poly_len int, lb_checksum bigint"
 )
+
+# synthetic page-raster dims fed through the P1-P3 raster letterbox
+RASTER_H, RASTER_W = 36, 52
+CANVAS = 64
 
 
 def synth_head_outputs(k: int) -> dict:
@@ -66,7 +71,13 @@ def synth_head_outputs(k: int) -> dict:
         dtype=np.float32,
     )
     bbox = (2.0 + k % 10, 1.0 + k % 5, 20.0 + k % 12, 24.0 + k % 8)
-    return {"obb": obb, "kpts": kpts, "ratio": ratio, "coefs": coefs, "protos": protos, "bbox": bbox}
+    raster = np.fromfunction(
+        lambda r, c: (r * 7 + c * 13 + k * 31) % 256, (RASTER_H, RASTER_W)
+    ).astype(np.uint8)
+    return {
+        "obb": obb, "kpts": kpts, "ratio": ratio, "coefs": coefs,
+        "protos": protos, "bbox": bbox, "raster": raster,
+    }
 
 
 def decode_instance_row(k: int) -> tuple:
@@ -78,6 +89,10 @@ def decode_instance_row(k: int) -> tuple:
     mask, poly = decode_instance_mask(
         h["coefs"], h["protos"], h["bbox"], MASK_HW, MASK_HW, threshold=0.5
     )
+    # P1-P3 raster letterbox over the synthetic page raster: u8-exact
+    # bilinear resize + 114-pad, summarized as an integer pixel checksum
+    spec = letterbox_spec(RASTER_H, RASTER_W, CANVAS, CANVAS, center=bool(k % 2))
+    canvas = letterbox_image(h["raster"], spec)
     return (
         k,
         *[float(v) for v in verts.reshape(-1)],
@@ -86,6 +101,7 @@ def decode_instance_row(k: int) -> tuple:
         float(kp[0, 1]),
         int((mask > 0).sum()),
         0 if poly is None else int(len(poly)),
+        int(canvas.sum()),
     )
 
 
@@ -113,7 +129,8 @@ def instances_oracle() -> str:
 
     float_cols = ("x1", "y1", "x2", "y2", "x3", "y3", "x4", "y4", "kp0_x", "kp0_y")
     names = (
-        "k x1 y1 x2 y2 x3 y3 x4 y4 n_valid_kpts kp0_x kp0_y mask_area poly_len"
+        "k x1 y1 x2 y2 x3 y3 x4 y4 n_valid_kpts kp0_x kp0_y mask_area poly_len "
+        "lb_checksum"
     ).split()
     values = ",\n    ".join(
         "(" + ", ".join(
