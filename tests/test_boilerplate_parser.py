@@ -126,6 +126,9 @@ ADVERSARIAL_HTML = [
     "<p>bare < less-than</p>",
     "<p>3 < 5 and 7 > 2</p>",
     "<!-- comment <p>not a block</p> --><p>real</p>",
+    "<p><!--><p>short bogus comment</p>",
+    "<p><!---><p>also bogus</p>",
+    "<p>tail <!--never closed",
     "<!DOCTYPE html><?xml version='1.0'?><p>after decls</p>",
     '<script>var a = "<p>fake</p>";</script><p>kept</p>',
     "<style>p { color: red }</style><p>styled</p>",

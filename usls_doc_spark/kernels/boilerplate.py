@@ -206,9 +206,17 @@ def _fast_feed(p: _BlockParser, html: str) -> None:
             _emit_data(p, html[i:lt])
         if html.startswith("<!--", lt):
             end = find("-->", lt + 4)
-            if end < 0:  # unterminated comment: close() flushes it as data
-                _emit_data(p, html[lt:])
-                return
+            if end < 0:
+                # invalid/unterminated comment ('<!-->', '<!--->', or EOF):
+                # stdlib close() emits through the next '>' as data and
+                # resumes; with no '>' at all it flushes the remainder
+                g = find(">", lt + 1)
+                if g < 0:
+                    _emit_data(p, html[lt:])
+                    return
+                _emit_data(p, html[lt : g + 1])
+                i = g + 1
+                continue
             i = end + 3
             continue
         nxt = html[lt + 1] if lt + 1 < n else ""
