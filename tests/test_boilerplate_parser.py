@@ -212,3 +212,19 @@ def test_fast_tokenizer_fuzz_differential():
         assert fast == slow, f"divergence on {html!r}"
 
     check()
+
+
+def test_cdata_close_is_strict():
+    """stdlib exits script/style CDATA only on a strict '</\\s*tag\\s*>':
+    prefix names and attr junk stay inside the raw-content region."""
+    from usls_doc_spark.kernels.boilerplate import parse_blocks, parse_blocks_stdlib
+
+    for html in (
+        '<script>a</scriptx><p>HI</p></script><p>b</p>',
+        '<script>a</script x="1"><p>swallowed</p>',
+        '<script>x</ script><p>y</p>',
+        '<style>p{}</  STYLE ><p>kept</p>',
+    ):
+        fast = [_block_key(b) for b in parse_blocks(html)]
+        slow = [_block_key(b) for b in parse_blocks_stdlib(html)]
+        assert fast == slow, html

@@ -184,8 +184,10 @@ class _FallbackToStdlib(Exception):
 _CLASS_RE = re.compile(
     r"""[\s"']class\s*=\s*("([^"]*)"|'([^']*)'|([^\s>/]+))""", re.IGNORECASE
 )
+# stdlib exits CDATA mode only on a STRICT close tag r'</\s*tag\s*>' with
+# the exact element name — '</scriptx>' or '</script x=1>' stay inside
 _SKIP_CLOSE_RES = {
-    t: re.compile(f"</{t}", re.IGNORECASE) for t in SKIP_CONTENT_TAGS
+    t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in SKIP_CONTENT_TAGS
 }
 
 
@@ -269,13 +271,12 @@ def _fast_feed(p: _BlockParser, html: str) -> None:
         if m.group("slash"):
             p.handle_endtag(name)
         elif name in SKIP_CONTENT_TAGS:
-            # CDATA mode: raw content until the matching close tag
+            # CDATA mode: raw content until the strict matching close tag
             cm2 = _SKIP_CLOSE_RES[name].search(html, i)
             if cm2 is None:
                 return  # unclosed script/style swallows the rest (skip mode)
-            gt = find(">", cm2.end())
             p.handle_endtag(name)
-            i = n if gt < 0 else gt + 1
+            i = cm2.end()
 
 
 def parse_blocks(html: str) -> list[Block]:
