@@ -54,7 +54,30 @@ BENCH_QUERIES = [
 ]
 
 
+def _loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return []
+
+
 def main() -> None:
+    # Pin the whole process tree (driver -> JVM -> python workers inherit
+    # the affinity mask) to exactly CPUS cores: local[N] only bounds task
+    # threads, and JVM scan/GC/Arrow threads spilling onto spare cores
+    # otherwise inflate small-N numbers and add 2-4x host-noise swings
+    # (round-2 VERDICT item 9; same rationale as scripts/bench_scaling.py).
+    try:
+        import os as _os
+
+        avail = sorted(_os.sched_getaffinity(0))
+        _os.sched_setaffinity(0, set(avail[:CPUS]))
+        pinned = len(avail[:CPUS])
+    except (AttributeError, OSError):
+        pinned = 0
+    load_before = _loadavg()
+
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -126,6 +149,9 @@ def main() -> None:
                 "extraction_html_mb": round(html_bytes / 1e6, 1),
                 "docs_per_sec": round(n_docs / t_extract, 1),
                 "input_mb_per_sec": round(html_bytes / 1e6 / t_extract, 1),
+                "pinned_cpus": pinned,
+                "loadavg_before": load_before,
+                "loadavg_after": _loadavg(),
             }
         )
     )

@@ -146,6 +146,14 @@ ADVERSARIAL_HTML = [
     "<p >space before gt</p >",
     "<p><></p>",
     "<p>emoji \U0001f600 &#128512;</p>",
+    # noscript/template are NOT stdlib CDATA elements: inner tags still run
+    # the handlers (round-2 ADVICE — the fast path treated them as raw text)
+    '<noscript><div class="ad"></noscript><p>body</p>',
+    "<noscript>x</noscript x><p>later</p>",
+    "<template><p>tpl</p></template><p>real</p>",
+    '<noscript><script>var x="</noscript>";</script></noscript><p>t</p>',
+    "<noscript><p>fallback</p></noscript><p>shown</p>",
+    "<template>never closed <p>still handled",
 ]
 
 
@@ -193,6 +201,8 @@ def test_fast_tokenizer_fuzz_differential():
             "<a href='/x'>", "</a>", "<img class='banner'>", "<br>", "<br/>",
             "<table>", "</table>", "<td>", "</td>", "<tr>", "</tr>",
             "<h1>", "</h1>", "<script>", "</script>", "<style>", "</style>",
+            "<noscript>", "</noscript>", "<template>", "</template>",
+            '<noscript><div class="ad">', "</noscript x>",
             "<!-- c -->", "<!", "<!DOCTYPE html>", "<?pi?>",
             "text ", "words here ", "&amp;", "&lt;", "&#65;", "&bogus;",
             "<", ">", "&", "  ", "\n", "\t", "<p", "p>", "</", "/>",

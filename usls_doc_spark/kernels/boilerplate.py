@@ -39,6 +39,12 @@ MERGE_CONTAINER_TAGS = frozenset({"table"})
 BOILERPLATE_ANCESTOR_TAGS = frozenset({"nav", "footer", "header", "aside"})
 BOILERPLATE_CLASS_HINTS = frozenset({"sidebar", "ad", "ads", "banner", "menu", "promo", "related"})
 SKIP_CONTENT_TAGS = frozenset({"script", "style", "noscript", "template"})
+# stdlib html.parser raw-text (CDATA) mode applies ONLY to these two
+# (HTMLParser.CDATA_CONTENT_ELEMENTS); noscript/template content is
+# tokenized normally — its tags still run the handlers (so e.g. a
+# class="ad" div inside <noscript> marks boilerplate ancestry) while
+# _skip_depth drops the text. The fast tokenizer must match exactly.
+CDATA_CONTENT_TAGS = frozenset({"script", "style"})
 # HTML5 void elements: never produce end tags, must not occupy the open-
 # element stack (an <img class="ad"> would otherwise mark the rest of the
 # page boilerplate)
@@ -185,9 +191,11 @@ _CLASS_RE = re.compile(
     r"""[\s"']class\s*=\s*("([^"]*)"|'([^']*)'|([^\s>/]+))""", re.IGNORECASE
 )
 # stdlib exits CDATA mode only on a STRICT close tag r'</\s*tag\s*>' with
-# the exact element name — '</scriptx>' or '</script x=1>' stay inside
+# the exact element name — '</scriptx>' or '</script x=1>' stay inside.
+# Only script/style: stdlib's CDATA_CONTENT_ELEMENTS excludes noscript/
+# template, whose inner tags must keep firing the handlers.
 _SKIP_CLOSE_RES = {
-    t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in SKIP_CONTENT_TAGS
+    t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in CDATA_CONTENT_TAGS
 }
 
 
@@ -270,7 +278,7 @@ def _fast_feed(p: _BlockParser, html: str) -> None:
         p.handle_starttag(name, attrs)
         if m.group("slash"):
             p.handle_endtag(name)
-        elif name in SKIP_CONTENT_TAGS:
+        elif name in CDATA_CONTENT_TAGS:
             # CDATA mode: raw content until the strict matching close tag
             cm2 = _SKIP_CLOSE_RES[name].search(html, i)
             if cm2 is None:

@@ -11,8 +11,11 @@ k = doc_id % 64 — the same invariant trick as io/synth.py — so the decoded
 geometry is a 64-row lookup. The DuckDB oracle joins documents to the
 PINNED table (operators/instances_geom.py, generated once by
 scripts/gen_instances_geom.py) on doc_id % 64: a kernel regression fails
-the hash instead of being silently followed. The kernels run for real on
-every row, Arrow-batched, exactly as a per-image decode would.
+the hash instead of being silently followed. The decode is MEMOIZED per
+class k per task (_instances_batch's cache) — the kernels execute
+distributed inside the Arrow batches, but at most 64 times per task, and
+the query is effectively a computed-lookup join; a real per-image decode
+would drop the memo because its inputs vary per row.
 """
 
 from __future__ import annotations

@@ -151,43 +151,57 @@ def q_quality_ngram_familiarity(d: Dialect) -> str:
     and natural prose score high). Two-stage shape that scales:
 
       scan -> explode trigrams (single-pass char split, O(L) — element_at
-      on the codes array, never substr-at-i) -> COUNT per trigram (alphabet
-      is ~|charset|³ keys, a broadcastable side at any corpus size) ->
-      join back -> per-doc integer fold.
+      on the codes array, never substr-at-i) -> pre-aggregate to
+      (doc_id, trigram, k) so every later stage shuffles one row per
+      DISTINCT (doc, trigram) pair instead of one per occurrence -> COUNT
+      per trigram (alphabet is ~|charset|³ keys, a broadcastable side at
+      any corpus size) -> join back -> per-doc fold.
 
-    Float discipline: the score is (10⁶ × Σ corpus_count(t_i)) / (L ×
-    total_trigrams) — EXACT integer arithmetic until one final division,
-    so it is association-free and bit-identical in both engines under any
-    partitioning."""
+    Float discipline: the score is (10⁶ × Σ k_t·corpus_count(t)) / (L ×
+    total_trigrams). The weighted sum is DECIMAL(37,0)-exact (BIGINT sum
+    wraps silently in Spark past ~9.2e18 while DuckDB widens to HUGEINT —
+    round-2 ADVICE), cast to DOUBLE only at the end; the remaining double
+    ops (one multiply, one divide) are single IEEE operations, so the
+    result is association-free and bit-identical in both engines under any
+    partitioning. Documents shorter than 3 chars have no trigrams and are
+    filtered identically in both dialects (Spark's sequence() would step
+    DESCENDING for stop<start and element_at would throw — round-2 ADVICE).
+    """
     if d.name == "spark":
+        # throw-proof by construction, not just by the WHERE below: Catalyst
+        # subexpression elimination can evaluate this transform inside the
+        # Filter operator BEFORE the length predicate, so the lambda itself
+        # must tolerate short docs (ascending-guarded sequence + try_element_at
+        # -> null trigrams, which the WHERE-filtered rows never ship anyway)
         tg = (
-            "transform(sequence(1, greatest(length(text) - 2, 0)), i -> "
-            "concat(element_at(cs, i), element_at(cs, i + 1), element_at(cs, i + 2)))"
+            "transform(sequence(1, greatest(length(text) - 2, 1)), i -> "
+            "concat(try_element_at(cs, i), try_element_at(cs, i + 1), "
+            "try_element_at(cs, i + 2)))"
         )
         cs = "split(text, '')"
         explode = "LATERAL VIEW explode(tgs) x AS t"
     else:
-        tg = (
-            "[cs[i] || cs[i + 1] || cs[i + 2] "
-            "for i in range(1, greatest(length(text) - 2, 0) + 1)]"
-        )
+        tg = "[cs[i] || cs[i + 1] || cs[i + 2] for i in range(1, length(text) - 2 + 1)]"
         cs = "string_split(text, '')"
         explode = ", unnest(tgs) AS x(t)"
     return f"""
 WITH tg AS (
   SELECT doc_id, t
   FROM (SELECT doc_id, {tg} AS tgs
-        FROM (SELECT doc_id, text, {cs} AS cs FROM documents)) src
+        FROM (SELECT doc_id, text, {cs} AS cs FROM documents
+              WHERE length(text) >= 3)) src
   {explode}
 ),
-cnt AS (SELECT t, count(*) AS c FROM tg GROUP BY t),
-tot AS (SELECT count(*) AS n FROM tg)
-SELECT tg.doc_id,
-       count(*) AS n_trigrams,
-       CAST(1000000 * sum(cnt.c) AS DOUBLE)
-         / (count(*) * (SELECT n FROM tot)) AS familiarity
-FROM tg JOIN cnt ON tg.t = cnt.t
-GROUP BY tg.doc_id
+dtg AS (SELECT doc_id, t, count(*) AS k FROM tg GROUP BY doc_id, t),
+cnt AS (SELECT t, CAST(sum(k) AS BIGINT) AS c FROM dtg GROUP BY t),
+tot AS (SELECT CAST(sum(k) AS BIGINT) AS n FROM dtg)
+SELECT dtg.doc_id,
+       CAST(sum(dtg.k) AS BIGINT) AS n_trigrams,
+       (CAST(sum(CAST(dtg.k AS DECIMAL(18,0)) * CAST(cnt.c AS DECIMAL(18,0))) AS DOUBLE)
+          * 1000000)
+         / (CAST(sum(dtg.k) AS DOUBLE) * (SELECT n FROM tot)) AS familiarity
+FROM dtg JOIN cnt ON dtg.t = cnt.t
+GROUP BY dtg.doc_id
 """
 
 

@@ -114,9 +114,37 @@ def ocr_regions_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     function of the chunk character count, so the oracle joins the span
     oracle to the PINNED geometry table (operators/ocr_geom.py, generated
     once by scripts/gen_ocr_geom.py) on length(span_text) — a kernel
-    regression fails the hash instead of being silently followed."""
+    regression fails the hash instead of being silently followed.
+
+    Coverage guard (round-2 ADVICE): the pinned table spans n_chars
+    1..MAX; a longer-than-pinned chunk on some other dataset would be
+    silently DROPPED by the oracle's inner join, so assert up front that
+    the longest 8-word chunk in this sf_dir is covered (one bounded
+    1-row collect over an aggregate — loud error instead of a confusing
+    hash-red row)."""
+    from pyspark.sql import functions as F
+
+    from .operators.ocr_geom import GEOM_ROWS
     from .pipeline.ocr import ocr_spans
 
+    max_pinned = max(r[0] for r in GEOM_ROWS)
+    longest = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.expr(
+                f"array_max(transform(sequence(1, size(split(text, ' ')), {CHUNK_WORDS}), "
+                f"i -> length(array_join(slice(split(text, ' '), i, {CHUNK_WORDS}), ' '))))"
+            ).alias("m")
+        )
+        .agg(F.max("m").alias("m"))
+        .collect()[0]["m"]
+    )
+    if longest is not None and longest > max_pinned:
+        raise ValueError(
+            f"ocr_regions_detail: dataset has a {longest}-char chunk but the "
+            f"pinned geometry table covers only n_chars <= {max_pinned}; "
+            "regenerate with scripts/gen_ocr_geom.py --max-n"
+        )
     pages = pages_from_documents(spark, sf_dir)
     return ocr_spans(pages)
 
