@@ -1,0 +1,66 @@
+"""Connected-components dedup: transitive clusters must collapse to ONE
+canonical id even when the endpoints never form a direct verified pair
+(A~B, B~C, A!~C), identically in the Spark iterative loop and the DuckDB
+recursive-CTE oracle."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from usls_doc_spark.operators.components import (
+    components_oracle,
+    dedup_components,
+    min_label_components,
+)
+
+# A 3-link chain of sliding 12-word windows over 16 words, shifted by 2:
+# adjacent docs share 8 of 12 distinct shingles (J = 8/12 = 0.667 >= 0.5);
+# the endpoints share only 6 of 14 (J = 0.43 < 0.5) -> same component only
+# transitively via the middle doc.
+W = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+    "nu xi omicron pi"
+).split()
+END = "phi chi psi omega aleph beth gimel daleth he waw".split()
+
+DOCS = [
+    (10, " ".join(W[0:12]), "en"),
+    (11, " ".join(W[2:14]), "en"),
+    (12, " ".join(W[4:16]), "en"),
+    (20, " ".join(END), "en"),  # exact-dup pair 20/21
+    (21, " ".join(END), "en"),
+    (30, "totally unrelated words about volcanic geology and magma", "en"),
+]
+
+
+def test_chain_collapses_to_one_component(spark):
+    sdf = spark.createDataFrame(DOCS, "doc_id bigint, text string, lang string")
+    sdf.createOrReplaceTempView("documents")
+    from usls_doc_spark.operators.dialect import SPARK
+    from usls_doc_spark.operators.text_queries import build_verified_pairs
+
+    edges = spark.sql(build_verified_pairs(SPARK))
+    pairs = {(r.doc_a, r.doc_b) for r in edges.collect()}
+    assert (10, 11) in pairs and (11, 12) in pairs and (20, 21) in pairs
+    assert (10, 12) not in pairs  # transitive only
+
+    comp = {r.doc_id: r.component_id for r in min_label_components(edges).collect()}
+    assert comp[10] == comp[11] == comp[12] == 10
+    assert comp[20] == comp[21] == 20
+    assert 30 not in comp  # singletons excluded
+
+    # the DuckDB recursive-CTE oracle agrees exactly
+    con = duckdb.connect(":memory:")
+    con.register("docs_src", pd.DataFrame(DOCS, columns=["doc_id", "text", "lang"]))
+    con.sql("CREATE VIEW documents AS SELECT * FROM docs_src")
+    want = {(r[0], r[1], r[2]) for r in con.sql(components_oracle()).fetchall()}
+    assert want == {(10, 10, 3), (11, 10, 3), (12, 10, 3), (20, 20, 2), (21, 20, 2)}
+
+
+def test_nonconvergence_raises(spark):
+    sdf = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a bigint, doc_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(sdf, max_iters=1)

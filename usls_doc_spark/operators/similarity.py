@@ -93,7 +93,10 @@ def q_dedup_embedding_cosine(d: Dialect) -> str:
     secondary key was rejected: at the 0.4 cosine threshold sign-LSH
     agreement per pair is only ~0.63 per plane, so even 6 planes would
     silently drop ~94% of true pairs; the cap loses recall only beyond the
-    cap boundary and is exact below it."""
+    cap boundary and is exact below it (no label in the test corpora
+    reaches LABEL_CAP members, so measured recall is 1.0 — the text-side
+    analogue with exhaustive ground truth is text_queries.q_lsh_recall,
+    measured 1.0 at sf0.001/sf0.01)."""
     from .dialect import dot64
 
     self_dot = dot64("embedding", "embedding", DIMS)(d)

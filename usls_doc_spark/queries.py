@@ -285,6 +285,13 @@ def build_registry() -> tuple[dict, dict]:
         queries[name] = _sim_query(name)
         oracles[name] = tmpl(DUCK)
 
+    # connected-components canonical dedup (iterative Spark loop vs
+    # DuckDB recursive CTE)
+    from .operators.components import components_oracle, dedup_components
+
+    queries["dedup_components"] = dedup_components
+    oracles["dedup_components"] = components_oracle()
+
     # grouped-map (applyInPandas path)
     from .operators.grouped import LANG_WORD_RANK_ORACLE, lang_word_rank
 
