@@ -39,7 +39,7 @@ _EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 CHUNK_WORDS = 8
 SKEW_MOD = 47  # doc_id % 47 == 0 -> oversized page
 TWOCOL_MOD = 3  # doc_id % 3 == 1 -> two-column layout
-TABLE_MOD = 4  # doc_id % 4 == 2 -> last chunk rendered as a 2-row <table>
+TABLE_MOD = 4  # doc_id % 4 == 2 -> last chunk rendered as a <table>
 
 
 def url_for(doc_id: int) -> str:
@@ -52,7 +52,7 @@ def chunk_text(text: str) -> list[str]:
 
 
 def renders_table(doc_id: int, chunks: list[str]) -> bool:
-    """True when this page renders its LAST chunk as a 2-row table.
+    """True when this page renders its LAST chunk as a table.
 
     Requires >= 2 chunks (so the first chunk stays a <p>: the TrOCR oracle's
     region) and >= 2 words in the last chunk (a 1-cell table is degenerate).
@@ -66,10 +66,26 @@ def renders_table(doc_id: int, chunks: list[str]) -> bool:
     )
 
 
-def table_split(words: list[str]) -> tuple[list[str], list[str]]:
-    """Row split of the table cells: first ceil(n/2) words, then the rest."""
-    mid = (len(words) + 1) // 2
-    return words[:mid], words[mid:]
+def table_row_count(doc_id: int, n_words: int) -> int:
+    """Row count of the rendered table: 1-4 rows derived from doc_id
+    (round-2 VERDICT item 3 — variable structure, not a hardcoded 2),
+    clamped so no row is empty."""
+    return min(1 + (doc_id // TABLE_MOD) % 4, n_words)
+
+
+def table_rows(doc_id: int, words: list[str]) -> list[list[str]]:
+    """Ragged row split: base = n // rows words per row; the first
+    n % rows rows carry one extra word. Deterministic, all rows
+    non-empty, concatenation preserves word order (the extracted-text
+    invariant does not depend on the split)."""
+    nr = table_row_count(doc_id, len(words))
+    base, extra = divmod(len(words), nr)
+    rows, i = [], 0
+    for r in range(nr):
+        ln = base + (1 if r < extra else 0)
+        rows.append(words[i : i + ln])
+        i += ln
+    return rows
 
 
 def synth_page(doc_id: int, text: str, lang: str) -> dict:
@@ -101,10 +117,9 @@ def synth_page(doc_id: int, text: str, lang: str) -> dict:
     for c in body_chunks:
         parts.append(f"<p>{esc(c)}</p>")
     if as_table:
-        r0, r1 = table_split(chunks[-1].split(" "))
         rows_html = "".join(
             "<tr>" + "".join(f"<td>{esc(w)}</td>" for w in row) + "</tr>"
-            for row in (r0, r1)
+            for row in table_rows(doc_id, chunks[-1].split(" "))
         )
         parts.append(f"<table>{rows_html}</table>")
     parts.append(

@@ -127,8 +127,13 @@ tsrc AS (
   SELECT doc_id, text, two_col, skew, chunks,
          (doc_id % 4 = 2 AND len(chunks) >= 2
           AND len(string_split(chunks[len(chunks)], ' ')) >= 2) AS has_table,
-         string_split(chunks[len(chunks)], ' ') AS lw
+         string_split(chunks[len(chunks)], ' ') AS lw,
+         least(1 + (doc_id // 4) % 4,
+               len(string_split(chunks[len(chunks)], ' '))) AS nr
   FROM src
+),
+tshape AS (
+  SELECT *, len(lw) // nr AS bs, len(lw) % nr AS ex FROM tsrc
 ),
 page AS (
   SELECT doc_id,
@@ -150,18 +155,20 @@ page AS (
     || array_to_string(['<p>' || {_esc("c")} || '</p>'
          for c in (CASE WHEN has_table THEN chunks[1:len(chunks) - 1] ELSE chunks END)], '')
     || CASE WHEN has_table THEN
-         '<table><tr>'
-         || array_to_string(['<td>' || {_esc("w")} || '</td>'
-              for w in lw[1:(len(lw) + 1) // 2]], '')
-         || '</tr><tr>'
-         || array_to_string(['<td>' || {_esc("w")} || '</td>'
-              for w in lw[(len(lw) + 1) // 2 + 1:len(lw)]], '')
-         || '</tr></table>'
+         '<table>'
+         || array_to_string(list_transform(range(0, nr), r ->
+              '<tr>'
+              || array_to_string(list_transform(
+                   lw[r * bs + least(r, ex) + 1 :
+                      r * bs + least(r, ex) + bs + CASE WHEN r < ex THEN 1 ELSE 0 END],
+                   w -> '<td>' || {_esc("w")} || '</td>'), '')
+              || '</tr>'), '')
+         || '</table>'
        ELSE '' END
     || '<footer><p><a href="/about">about</a> <a href="/tos">terms</a> copyright '
     || CAST(2020 + doc_id % 5 AS VARCHAR)
     || ' example org</p></footer></body></html>' AS html
-  FROM tsrc
+  FROM tshape
 ),
 codes AS (
   SELECT doc_id, html,

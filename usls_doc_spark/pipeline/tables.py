@@ -3,13 +3,14 @@ merged <table> blocks, distributed (SURVEY.md §2.7; decode semantics
 /root/reference/src/models/slanet/impl.rs:49-108).
 
 Model boundary: the SLANet encoder is a deterministic stub emitting the
-token-logits and cell-bbox heads for the block's cell grid (2 rows, first
-ceil(n/2) words then the rest — the structure io/synth.py renders); the
-REAL decode loop (kernels/table_structure.py: per-step argmax, EOS break,
-SOS skip, td-token -> 4 corners scaled to the table image) runs on every
-table block. Cell bboxes are dyadic rationals (c/8, r/4) scaled by a
-512x256 table image, so every corner is an exact float32 integer — the
-DuckDB oracle states them with integer arithmetic, no pinning needed.
+token-logits and cell-bbox heads for the block's cell grid — VARIABLE
+structure (1-4 rows, ragged last rows; exactly the rows io/synth.py
+renders via table_rows, round-2 VERDICT item 3); the REAL decode loop
+(kernels/table_structure.py: per-step argmax, EOS break, SOS skip,
+td-token -> 4 corners scaled to the table image) runs on every table
+block. Cell bboxes are dyadic rationals (c/8, r/4) scaled by a 512x256
+table image, so every corner is an exact float32 integer — the DuckDB
+oracle states them with integer arithmetic, no pinning needed.
 """
 
 from __future__ import annotations
@@ -33,10 +34,11 @@ TABLE_CELLS_SCHEMA = (
 )
 
 
-def stub_slanet_heads(n_words: int) -> tuple[np.ndarray, np.ndarray]:
-    """Token-logit + cell-bbox heads for a 2-row table of n_words cells."""
-    mid = (n_words + 1) // 2
-    rows = [mid, n_words - mid]
+def stub_slanet_heads(row_lens: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    """Token-logit + cell-bbox heads for a table with the given per-row
+    cell counts (arbitrary 1-4-row ragged structures — slanet/impl.rs
+    decodes any structure, so the stub must too)."""
+    rows = row_lens
     seq: list[int] = [SOS_ID]
     bboxes: list[list[float]] = [[0.0] * 8]
     for r, row_len in enumerate(rows):
@@ -59,21 +61,27 @@ def stub_slanet_heads(n_words: int) -> tuple[np.ndarray, np.ndarray]:
 def table_cells_for_page(html_bytes, url: str) -> list[tuple]:
     if html_bytes is None:
         return []
+    from ..io.synth import table_rows
+
+    doc_id = int(url.rsplit("/", 1)[-1])
     out = []
     for blk in parse_blocks(bytes(html_bytes).decode("utf-8", errors="replace")):
         cls, _ = classify_block(blk)
         if cls != "table":
             continue
-        n_words = len(blk.text.split(" "))
-        logits, bboxes = stub_slanet_heads(n_words)
+        words = blk.text.split(" ")
+        # the deterministic stand-in for the SLANet encoder: structure is a
+        # pure function of (doc_id, cell count) — the same function the
+        # generator rendered, so the decode is checkable without pinning
+        row_lens = [len(r) for r in table_rows(doc_id, words)]
+        logits, bboxes = stub_slanet_heads(row_lens)
         texts, kpts = decode_table_structure(
             logits, bboxes, SLANET_VOCAB, TABLE_IMAGE_H, TABLE_IMAGE_W,
             sos_id=SOS_ID, eos_id=EOS_ID,
         )
-        mid = (n_words + 1) // 2
+        rc = [(r, c) for r, ln in enumerate(row_lens) for c in range(ln)]
         for i, cell in enumerate(kpts):
-            r = 0 if i < mid else 1
-            c = i if i < mid else i - mid
+            r, c = rc[i]
             out.append(
                 (
                     url,
@@ -116,7 +124,13 @@ def table_cells(spark, sf_dir: str):
     )
 
 
-# cell x-pitch = IMAGE_W/8 = 64, y-pitch = IMAGE_H/4 = 64 — exact integers
+# cell x-pitch = IMAGE_W/8 = 64, y-pitch = IMAGE_H/4 = 64 — exact integers.
+# Variable structure: nr = min(1 + (doc_id // 4) % 4, nw) rows; base = nw // nr
+# cells per row, the first (nw % nr) rows take one extra (io/synth.table_rows).
+# Cell i's (row, col): the first ex rows hold (bs+1) cells each, so
+#   i <  ex*(bs+1): row = i // (bs+1),       col = i % (bs+1)
+#   i >= ex*(bs+1): row = ex + rest // bs,   col = rest % bs   (rest = i - ex*(bs+1))
+# Decoded token count = nw cells + 2*nr row tags + 6 html wrappers.
 TABLE_CELLS_ORACLE = """
 WITH d AS (
   SELECT doc_id,
@@ -130,15 +144,22 @@ t AS (
   WHERE doc_id % 4 = 2 AND len(chunks) >= 2
     AND len(string_split(chunks[len(chunks)], ' ')) >= 2
 ),
-cells AS (
-  SELECT doc_id, len(lw) AS nw, (len(lw) + 1) // 2 AS mid,
-         unnest(range(0, len(lw))) AS i
+shape AS (
+  SELECT doc_id, len(lw) AS nw,
+         least(1 + (doc_id // 4) % 4, len(lw)) AS nr
   FROM t
 ),
+cells AS (
+  SELECT doc_id, nw, nr, nw // nr AS bs, nw % nr AS ex,
+         unnest(range(0, nw)) AS i
+  FROM shape
+),
 g AS (
-  SELECT doc_id, nw, CAST(i AS INT) AS cell_id,
-         CAST(CASE WHEN i < mid THEN 0 ELSE 1 END AS INT) AS row_id,
-         CAST(CASE WHEN i < mid THEN i ELSE i - mid END AS INT) AS col_id
+  SELECT doc_id, nw, nr, CAST(i AS INT) AS cell_id,
+         CAST(CASE WHEN i < ex * (bs + 1) THEN i // (bs + 1)
+                   ELSE ex + (i - ex * (bs + 1)) // bs END AS INT) AS row_id,
+         CAST(CASE WHEN i < ex * (bs + 1) THEN i % (bs + 1)
+                   ELSE (i - ex * (bs + 1)) % bs END AS INT) AS col_id
   FROM cells
 )
 SELECT 'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
@@ -147,6 +168,6 @@ SELECT 'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS ur
        CAST(64 * (col_id + 1) AS FLOAT) AS x2, CAST(64 * row_id AS FLOAT) AS y2,
        CAST(64 * (col_id + 1) AS FLOAT) AS x3, CAST(64 * (row_id + 1) AS FLOAT) AS y3,
        CAST(64 * col_id AS FLOAT) AS x4, CAST(64 * (row_id + 1) AS FLOAT) AS y4,
-       CAST(nw + 10 AS INT) AS n_tokens
+       CAST(nw + 2 * nr + 6 AS INT) AS n_tokens
 FROM g
 """
