@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "ann_ivf_probe",
     "corpus_curation",
     "ocr_spans",
+    "raster_ocr_regions",
     "trocr_transcripts",
     "layout_instances",
     "table_cells",

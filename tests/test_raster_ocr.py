@@ -1,0 +1,81 @@
+"""Pixel-native detection path: the D1-D7 kernels over rendered rasters
+must match the RENDER-SPEC oracle bit-for-bit — geometry AND float32
+confidence — across the full (chunk length, height parity, x offset)
+config space, plus the structural assumptions the symbolic oracle bakes
+in (12-vertex hull in monotone-chain order, no filter drops)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from usls_doc_spark.io.synth import raster_spec, render_page_raster
+from usls_doc_spark.kernels.ocr import db_postprocess
+from usls_doc_spark.pipeline.raster_ocr import (
+    detect_raster_regions,
+    raster_ocr_oracle,
+)
+
+
+def test_hull_is_the_fixed_12gon():
+    # one rect: w=4*13, h=16, at margin — hull must be exactly the 12-gon
+    # [L1, TLc, T1, T2, TRc, R1, R2, BRc, B2, B1, BLc, L2] the oracle states
+    rects = [(16, 16, 52, 16)]
+    prob = render_page_raster(rects).astype(np.float32) / np.float32(255.0)
+    regions = db_postprocess(prob, ratio=1.0)
+    assert len(regions) == 1
+    poly = regions[0]["polygon"]
+    assert len(poly) == 12
+    w1, h1 = 51.0, 15.0
+    d = (w1 * h1 * 1.5) / (2.0 * (w1 + h1))
+    q = (1.0 / np.sqrt(2.0)) * d
+    x0, y0, xr, yb = 16.0, 16.0, 16.0 + w1, 16.0 + h1
+    want = [
+        (x0 - d, y0 + 1), (x0 - q, y0 - q), (x0 + 1, y0 - d), (xr - 1, y0 - d),
+        (xr + q, y0 - q), (xr + d, y0 + 1), (xr + d, yb - 1), (xr + q, yb + q),
+        (xr - 1, yb + d), (x0 + 1, yb + d), (x0 - q, yb + q), (x0 - d, yb - 1),
+    ]
+    assert [tuple(p) for p in poly] == want  # exact, not allclose
+
+
+def _differential(docs):
+    got = []
+    for d, t in docs:
+        got.extend(detect_raster_regions(d, t))
+    con = duckdb.connect(":memory:")
+    con.register(
+        "docs_src",
+        pd.DataFrame([(d, t, "en") for d, t in docs], columns=["doc_id", "text", "lang"]),
+    )
+    con.sql("CREATE VIEW documents AS SELECT * FROM docs_src")
+    want = con.sql(raster_ocr_oracle() + " ORDER BY doc_id, region_id").fetchall()
+    assert sorted(tuple(r) for r in got) == [tuple(r) for r in want]
+    return len(got)
+
+
+def test_config_sweep_bit_exact():
+    # every chunk length 1..80 chars x both height parities x all x offsets:
+    # single-word chunks of length c, doc_ids covering (doc_id + k) % 2
+    docs = []
+    for doc_id in (0, 1):
+        for c in range(1, 81, 7):
+            docs.append((doc_id * 1000 + c, " ".join(["z" * c] * 9)))  # 2 chunks
+    n = _differential(docs)
+    assert n == 2 * len(docs)
+
+
+def test_multi_chunk_pages_bit_exact():
+    docs = [
+        (5, " ".join(f"w{i}" for i in range(70))),   # 9 chunks: k%3 cycles x
+        (6, " ".join(["variable", "len", "words", "xx"] * 12)),
+    ]
+    _differential(docs)
+
+
+def test_spec_is_independent_of_kernels():
+    # the spec is pure integers — rerendering must not consult any kernel
+    rects = raster_spec(3, " ".join(["abc"] * 20))
+    assert rects == [
+        (16, 16, 4 * len(" ".join(["abc"] * 8)), 20),
+        (16 + 4, 56, 4 * len(" ".join(["abc"] * 8)), 16),
+        (16 + 8, 96, 4 * len(" ".join(["abc"] * 4)), 20),
+    ]

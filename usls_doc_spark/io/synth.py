@@ -88,6 +88,55 @@ def table_rows(doc_id: int, words: list[str]) -> list[list[str]]:
     return rows
 
 
+# ---------------------------------------------------------------------------
+# pixel-native page rasters (round-2 VERDICT item 1): deterministic u8
+# images whose glyph-box rectangles are an exact integer function of
+# (doc_id, chunk index, chunk length) — THE render spec. The full D1-D7
+# detect postprocess runs on these pixels, and the oracle re-states the
+# resulting geometry from this spec alone, never from kernel output.
+# ---------------------------------------------------------------------------
+
+RASTER_MARGIN = 16  # exceeds the max unclip delta (< 0.75 * 19 = 14.25):
+#                     no offset vertex ever clamps at the image border
+RASTER_PITCH = 40  # vertical line pitch: >= 20px background between rects
+RASTER_CELL = 4  # px per character
+RASTER_VALUE = 230  # fill value -> prob 230/255 = 0.902 > binarize 0.2
+
+
+def raster_spec(doc_id: int, text: str) -> list[tuple[int, int, int, int]]:
+    """(x0, y0, w, h) of the glyph-box rectangle per text chunk. Pure
+    integers; x varies with k % 3 and h with (doc_id + k) % 2 so the
+    detect path sees non-constant geometry."""
+    rects = []
+    for k, chunk in enumerate(chunk_text(text)):
+        rects.append(
+            (
+                RASTER_MARGIN + RASTER_CELL * (k % 3),
+                RASTER_MARGIN + RASTER_PITCH * k,
+                RASTER_CELL * len(chunk),
+                16 + 4 * ((doc_id + k) % 2),
+            )
+        )
+    return rects
+
+
+def render_page_raster(rects: list[tuple[int, int, int, int]]) -> "np.ndarray":
+    """Render the spec to a u8 grayscale page image. Asserts the layout
+    invariants the detect oracle relies on (separation, margins, min dims)
+    so a bad spec fails HERE, not as a confusing hash mismatch."""
+    import numpy as np
+
+    height = RASTER_MARGIN + RASTER_PITCH * len(rects)
+    width = max(x0 + w for x0, y0, w, h in rects) + RASTER_MARGIN
+    img = np.zeros((height, width), dtype=np.uint8)
+    for x0, y0, w, h in rects:
+        assert w >= 4 and 16 <= h <= 20, (w, h)
+        assert x0 >= RASTER_MARGIN and y0 >= RASTER_MARGIN
+        assert y0 + h + RASTER_MARGIN <= height and x0 + w + RASTER_MARGIN <= width + 1
+        img[y0 : y0 + h, x0 : x0 + w] = RASTER_VALUE
+    return img
+
+
 def synth_page(doc_id: int, text: str, lang: str) -> dict:
     """Build one page row. Deterministic in doc_id/text/lang alone."""
     esc = html_mod.escape

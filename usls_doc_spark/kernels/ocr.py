@@ -178,6 +178,25 @@ def polygon_area(points: np.ndarray) -> float:
     return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0)
 
 
+def polygon_area_ordered(points: np.ndarray) -> float:
+    """Shoelace with an EXPLICIT sequential left-fold: acc += x_i*y_{i+1} -
+    y_i*x_{i+1} in vertex order. Bit-reproducible anywhere IEEE doubles
+    exist — unlike np.dot (BLAS may reassociate) — so a SQL oracle can
+    state the same value term-for-term. Used for the hull-confidence ratio,
+    whose inputs are non-integer; `polygon_area` (dot-based) stays on the
+    integer-exact contour path where summation order cannot matter."""
+    p = np.asarray(points, dtype=np.float64)
+    n = len(p)
+    if n < 3:
+        return 0.0
+    s = 0.0
+    for i in range(n):
+        x1, y1 = p[i]
+        x2, y2 = p[(i + 1) % n]
+        s += x1 * y2 - y1 * x2
+    return abs(s) / 2.0
+
+
 def polygon_perimeter(points: np.ndarray) -> float:
     p = np.asarray(points, dtype=np.float64)
     if len(p) < 2:
@@ -305,7 +324,8 @@ def db_postprocess(
         if (y2 - y1) < min_height or (x2 - x1) < min_width:  # db/impl.rs:146-148
             continue
         bbox_area = (x2 - x1) * (y2 - y1)
-        conf = float(np.float32(polygon_area(poly) / bbox_area)) if bbox_area > 0 else 0.0
+        # ordered shoelace: the conf a render-spec oracle can restate bitwise
+        conf = float(np.float32(polygon_area_ordered(poly) / bbox_area)) if bbox_area > 0 else 0.0
         if np.float32(conf) < np.float32(conf_thresh):  # db/impl.rs:150-152
             continue
         regions.append(

@@ -264,6 +264,13 @@ def build_registry() -> tuple[dict, dict]:
     queries["layout_instances"] = layout_instances
     oracles["layout_instances"] = instances_oracle()
 
+    # pixel-native D1-D7 detection over rendered page rasters, oracled
+    # from the RENDER SPEC (no pinned kernel output — round-2 VERDICT #1)
+    from .pipeline.raster_ocr import raster_ocr_oracle, raster_ocr_regions
+
+    queries["raster_ocr_regions"] = raster_ocr_regions
+    oracles["raster_ocr_regions"] = raster_ocr_oracle()
+
     # SLANet table-structure decode over merged <table> blocks (§2.7)
     from .pipeline.tables import TABLE_CELLS_ORACLE, table_cells
 
