@@ -147,26 +147,101 @@ def _label_components(fg: np.ndarray) -> tuple[np.ndarray, int]:
     return lut[labels], len(remap)
 
 
+def _rect_ring(x0: int, y0: int, x1: int, y1: int) -> np.ndarray:
+    """Clockwise boundary ring of a filled rectangle, POINT-IDENTICAL to
+    _trace_boundary from the topmost-leftmost pixel (differential fuzz in
+    tests/test_kernels_ocr.py): top L->R, right T->B, bottom R->L, left
+    B->T. Vectorized — the solid-rectangle case is the OCR stage's hot
+    path (round-2 VERDICT item 7) and the python-stepping Moore walk was
+    ~40% of ocr_spans."""
+    xs = np.concatenate(
+        [
+            np.arange(x0, x1 + 1),
+            np.full(y1 - y0, x1),
+            np.arange(x1 - 1, x0 - 1, -1),
+            np.full(y1 - y0 - 1, x0),
+        ]
+    )
+    ys = np.concatenate(
+        [
+            np.full(x1 - x0 + 1, y0),
+            np.arange(y0 + 1, y1 + 1),
+            np.full(x1 - x0, y1),
+            np.arange(y1 - 1, y0, -1),
+        ]
+    )
+    return np.stack([xs, ys], axis=1)
+
+
 def find_outer_contours(mask: np.ndarray) -> list[np.ndarray]:
     """D3: outer boundaries of 4-connected foreground components, in
-    row-major discovery order. Returns [K,2] float64 (x, y) arrays."""
+    row-major discovery order. Returns [K,2] float64 (x, y) arrays.
+
+    One nonzero pass groups pixels per label (no per-component full-frame
+    scans — O(fg pixels), not O(components x H x W)); solid rectangles
+    take the vectorized ring; everything else Moore-traces inside its own
+    bbox window (identical output, the trace never consults pixels outside
+    the component)."""
     fg = np.asarray(mask) > 0
     if not fg.any():
         return []
     labels, n = _label_components(fg)
+    ys, xs = np.nonzero(labels)
+    lab = labels[ys, xs]
+    order = np.argsort(lab, kind="stable")  # stable: row-major within label
+    ys, xs, lab = ys[order], xs[order], lab[order]
+    bounds = np.searchsorted(lab, np.arange(1, n + 2))
     contours = []
     for comp_id in range(1, n + 1):
-        comp = labels == comp_id
-        ys, xs = np.nonzero(comp)
-        # topmost-leftmost pixel of the component (np.nonzero is row-major)
-        start = (int(ys[0]), int(xs[0]))
+        sl = slice(bounds[comp_id - 1], bounds[comp_id])
+        cys, cxs = ys[sl], xs[sl]
+        y0, y1 = int(cys[0]), int(cys[-1])  # row-major: first/last rows
+        x0, x1 = int(cxs.min()), int(cxs.max())
+        if y1 > y0 and x1 > x0 and len(cys) == (y1 - y0 + 1) * (x1 - x0 + 1):
+            pts_arr = _rect_ring(x0, y0, x1, y1)
+            contours.append(pts_arr[::-1].astype(np.float64))
+            continue
+        comp = np.zeros((y1 - y0 + 1, x1 - x0 + 1), dtype=bool)
+        comp[cys - y0, cxs - x0] = True
+        start = (int(cys[0]) - y0, int(cxs[0]) - x0)
         pts = _trace_boundary(comp, start)
-        # Moore tracing walks clockwise (image coords, y down);
-        # reverse to counter-clockwise so the unclip normal
-        # (-dy, dx) points OUTWARD — the dilation the DB unclip
-        # semantics require (db/impl.rs:136-144)
-        contours.append(np.asarray(pts[::-1], dtype=np.float64))
+        arr = np.asarray(pts[::-1], dtype=np.float64)
+        arr[:, 0] += x0
+        arr[:, 1] += y0
+        # Moore tracing walks clockwise (image coords, y down); reversed to
+        # counter-clockwise so the unclip normal (-dy, dx) points OUTWARD —
+        # the dilation the DB unclip semantics require (db/impl.rs:136-144)
+        contours.append(arr)
     return contours
+
+
+def _simplify_runs(points: np.ndarray) -> np.ndarray:
+    """Drop interior points of straight AXIS-ALIGNED boundary runs before
+    unclip+hull — output-identical by construction, proven by fuzz:
+
+      * a dropped point's unclip offset lies ON the segment between its
+        kept run-mates' offsets (same unit normal, collinear positions),
+        and the monotone chain pops collinear points anyway, so the hull
+        vertex SET and ORDER are unchanged;
+      * kept vertices see bit-identical normals: direction-change vertices
+        keep both original neighbors, and run points keep their exact unit
+        direction because k*(±1,0) / k and k*(0,±1) / k are exact in IEEE
+        (diagonal runs are NOT dropped: sqrt(2k²) vs k*sqrt(2) can differ
+        in the last bit).
+
+    This is the round-2 VERDICT item-7 hot-spot fix: the python monotone
+    chain ran over every boundary pixel (~650/region); now it sees only
+    corners."""
+    p = np.asarray(points, dtype=np.float64)
+    n = len(p)
+    if n <= 8:
+        return p
+    d = p - np.roll(p, 1, axis=0)  # incoming step per vertex
+    dn = np.roll(d, -1, axis=0)  # outgoing step
+    change = (d != dn).any(axis=1)
+    axis_run = (d[:, 0] == 0) | (d[:, 1] == 0)
+    keep = change | np.roll(change, 1) | np.roll(change, -1) | ~axis_run
+    return p[keep]
 
 
 def polygon_area(points: np.ndarray) -> float:
@@ -315,8 +390,10 @@ def db_postprocess(
         # reference chain is unclip -> resample(50) -> hull -> verify
         # (db/impl.rs:141-144); resample inserts only convex combinations of
         # edge endpoints, so hull(resample(X)) == hull(X) — we skip the 50x
-        # point blowup in the hot path (identity asserted in unit tests)
-        poly = verify(convex_hull(unclip(contour, delta, float(w), float(h))))
+        # point blowup in the hot path (identity asserted in unit tests);
+        # straight-run interior points are likewise hull-invariant and are
+        # dropped pre-unclip (_simplify_runs, fuzz-proven identical)
+        poly = verify(convex_hull(unclip(_simplify_runs(contour), delta, float(w), float(h))))
         if len(poly) < 3:
             continue
         x1, y1 = poly.min(axis=0)
