@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "corpus_curation",
     "ocr_spans",
     "raster_ocr_regions",
+    "raster_ocr_spans",
     "trocr_transcripts",
     "layout_instances",
     "table_cells",

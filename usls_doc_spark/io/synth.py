@@ -120,20 +120,39 @@ def raster_spec(doc_id: int, text: str) -> list[tuple[int, int, int, int]]:
     return rects
 
 
-def render_page_raster(rects: list[tuple[int, int, int, int]]) -> "np.ndarray":
+GLYPH_BIAS = 100  # glyph column value = ord(char) + 100: printable ASCII ->
+#                   132..226, all safely above binarize (0.2 * 255 = 51)
+
+
+def render_page_raster(
+    rects: list[tuple[int, int, int, int]], chunks: list[str] | None = None
+) -> "np.ndarray":
     """Render the spec to a u8 grayscale page image. Asserts the layout
     invariants the detect oracle relies on (separation, margins, min dims)
-    so a bad spec fails HERE, not as a confusing hash mismatch."""
+    so a bad spec fails HERE, not as a confusing hash mismatch.
+
+    With ``chunks``, each character renders as a 4px-wide glyph column
+    whose pixel VALUE encodes the character (ord + GLYPH_BIAS) — the
+    pixel-native recognition path reads the text back from pixels alone.
+    The detect geometry is unchanged either way: every glyph value
+    survives binarization, so the mask is the same solid rectangle."""
     import numpy as np
 
     height = RASTER_MARGIN + RASTER_PITCH * len(rects)
     width = max(x0 + w for x0, y0, w, h in rects) + RASTER_MARGIN
     img = np.zeros((height, width), dtype=np.uint8)
-    for x0, y0, w, h in rects:
+    for k, (x0, y0, w, h) in enumerate(rects):
         assert w >= 4 and 16 <= h <= 20, (w, h)
         assert x0 >= RASTER_MARGIN and y0 >= RASTER_MARGIN
         assert y0 + h + RASTER_MARGIN <= height and x0 + w + RASTER_MARGIN <= width + 1
-        img[y0 : y0 + h, x0 : x0 + w] = RASTER_VALUE
+        if chunks is None:
+            img[y0 : y0 + h, x0 : x0 + w] = RASTER_VALUE
+        else:
+            codes = np.frombuffer(chunks[k].encode("ascii"), dtype=np.uint8)
+            assert (codes >= 0x20).all() and (codes <= 0x7E).all()
+            img[y0 : y0 + h, x0 : x0 + w] = np.repeat(
+                codes + GLYPH_BIAS, RASTER_CELL
+            )[None, :]
     return img
 
 

@@ -43,12 +43,17 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from ..io.synth import raster_spec, render_page_raster
-from ..kernels.ocr import db_postprocess
+from ..io.synth import GLYPH_BIAS, RASTER_CELL, chunk_text, raster_spec, render_page_raster
+from ..kernels.ocr import ctc_greedy_decode, db_postprocess
 from ..kernels.yolo_decode import round_half_away
 
 RASTER_OCR_SCHEMA = (
     "doc_id bigint, region_id int, x int, y int, width int, height int, conf float"
+)
+
+RASTER_SPANS_SCHEMA = (
+    "doc_id bigint, region_id int, span_text string, "
+    "x int, y int, width int, height int, conf float"
 )
 
 
@@ -104,6 +109,104 @@ def raster_ocr_regions(spark, sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# pixel-native recognition: the "model" reads character codes from the
+# cropped pixels alone — the source text never reaches the stub (unlike
+# pipeline/ocr.py's stub_recognizer_logits, which one-hots the text
+# string). Glyphs are 4px columns whose value encodes ord(char) +
+# GLYPH_BIAS (io/synth.render_page_raster).
+# ---------------------------------------------------------------------------
+
+from .ocr import MAX_DECODE_LEN, VOCAB, WIDTH_BUCKET
+
+
+def read_glyph_logits(crop: np.ndarray) -> np.ndarray:
+    """Pixel-native SVTR head: column-max the crop, locate the glyph span
+    (the detected bbox is dilated by the unclip delta, so background
+    columns flank it), sample one column per 4-px glyph cell, emit one-hot
+    logits over the OCR vocab. Pure function of pixels."""
+    col = crop.max(axis=0)
+    nz = np.nonzero(col)[0]
+    logits = np.zeros((len(nz) // RASTER_CELL, len(VOCAB)), dtype=np.float32)
+    if len(nz) == 0:
+        return logits
+    span = col[nz[0] : nz[-1] + 1]
+    codes = span[::RASTER_CELL].astype(np.int32) - GLYPH_BIAS
+    for t, code in enumerate(codes[: len(logits)]):
+        idx = code - 0x20 + 1 if 0x20 <= code <= 0x7E else 0  # blank outside
+        logits[t, idx] = np.float32(0.95)
+    return logits
+
+
+def detect_raster_spans(doc_id: int, text: str) -> list[dict]:
+    """Detect stage over the glyph-coded raster: geometry rows + deferred
+    recognition crops (same two-stage width-bucket shape as pipeline/ocr)."""
+    rects = raster_spec(doc_id, text)
+    if not rects:
+        return []
+    raster = render_page_raster(rects, chunks=chunk_text(text))
+    prob = raster.astype(np.float32) / np.float32(255.0)
+    regions = db_postprocess(prob, ratio=1.0)
+    if len(regions) != len(rects):
+        raise RuntimeError(
+            f"doc {doc_id}: detected {len(regions)} regions for {len(rects)} rects"
+        )
+    out = []
+    for k, r in enumerate(regions):
+        x1, y1, x2, y2 = r["bbox"]
+        x = int(round_half_away(np.float32(x1)))
+        y = int(round_half_away(np.float32(y1)))
+        w = int(round_half_away(np.float32(x2 - x1)))
+        h = int(round_half_away(np.float32(y2 - y1)))
+        out.append(
+            {
+                "doc_id": doc_id,
+                "region_id": k,
+                "crop": raster[y : y + h, x : x + w],
+                "x": x, "y": y, "width": w, "height": h,
+                "conf": float(np.float32(r["conf"])),
+                "bucket": w // WIDTH_BUCKET,
+            }
+        )
+    return out
+
+
+def _spans_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ["doc_id", "region_id", "span_text", "x", "y", "width", "height", "conf"]
+    for pdf in batches:
+        pending: list[dict] = []
+        for d, t in zip(pdf["doc_id"], pdf["text"]):
+            pending.extend(detect_raster_spans(int(d), t))
+        # recognition batched per width bucket across the Arrow batch (R2)
+        by_bucket: dict[int, list[int]] = {}
+        for idx, r in enumerate(pending):
+            by_bucket.setdefault(r["bucket"], []).append(idx)
+        texts: list[str | None] = [None] * len(pending)
+        for bucket in sorted(by_bucket):
+            for i in by_bucket[bucket]:
+                texts[i] = ctc_greedy_decode(
+                    read_glyph_logits(pending[i]["crop"]), VOCAB,
+                    max_length=MAX_DECODE_LEN,
+                )
+        rows = [
+            (r["doc_id"], r["region_id"], t, r["x"], r["y"], r["width"],
+             r["height"], r["conf"])
+            for r, t in zip(pending, texts)
+        ]
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def raster_ocr_spans(spark, sf_dir: str):
+    """documents -> pixel-native end-to-end OCR: rendered glyph raster ->
+    D1-D7 detect -> crop at the DETECTED geometry -> pixel-read recognize
+    -> CTC decode. Oracle: render-spec geometry + span_text == chunk."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    nparts = spark.sparkContext.defaultParallelism * 4
+    return docs.repartition(nparts, "doc_id").mapInPandas(
+        _spans_batch, schema=RASTER_SPANS_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
 # symbolic oracle builder (DuckDB SQL, constructed from the render spec)
 # ---------------------------------------------------------------------------
 
@@ -152,9 +255,15 @@ def _rha_int(expr: str) -> str:
     return f"CAST(floor(CAST({expr} AS FLOAT) + CAST(0.5 AS FLOAT)) AS INT)"
 
 
-def raster_ocr_oracle() -> str:
+def raster_ocr_oracle(with_text: bool = False) -> str:
+    """DuckDB oracle built from the render spec. With ``with_text``, adds
+    span_text == the source chunk — the recognition invariant the
+    pixel-reading recognizer must reproduce end-to-end."""
     verts = _hull_vertices()
     hull_area = _shoelace_fold(verts)
+    text_col = "unnest(chunks) AS span_text,\n         " if with_text else ""
+    text_sel = "span_text, " if with_text else ""
+    text_carry = "span_text, " if with_text else ""
     return f"""
 WITH d0 AS (
   SELECT doc_id,
@@ -165,17 +274,17 @@ WITH d0 AS (
 ch AS (
   SELECT doc_id,
          generate_subscripts(chunks, 1) - 1 AS k,
-         length(unnest(chunks)) AS c
+         {text_col}length(unnest(chunks)) AS c
   FROM d0
 ),
 spec AS (
-  SELECT doc_id, CAST(k AS INT) AS region_id,
+  SELECT doc_id, CAST(k AS INT) AS region_id, {text_carry}
          16 + 4 * (k % 3) AS x0, 16 + 40 * k AS y0,
          4 * c AS w, 16 + 4 * ((doc_id + k) % 2) AS h
   FROM ch
 ),
 geom AS (
-  SELECT doc_id, region_id,
+  SELECT doc_id, region_id, {text_carry}
          CAST(x0 AS DOUBLE) AS x0d, CAST(y0 AS DOUBLE) AS y0d,
          CAST(x0 + w - 1 AS DOUBLE) AS xrd, CAST(y0 + h - 1 AS DOUBLE) AS ybd,
          (CAST((w - 1) * (h - 1) AS DOUBLE) * 1.5)
@@ -186,13 +295,13 @@ geom2 AS (
   SELECT *, ((1.0 / sqrt(2.0)) * dd) AS qd FROM geom
 ),
 boxes AS (
-  SELECT doc_id, region_id,
+  SELECT doc_id, region_id, {text_carry}
          (x0d - dd) AS bx1, (y0d - dd) AS by1,
          (xrd + dd) AS bx2, (ybd + dd) AS by2,
          {hull_area} AS hull_area
   FROM geom2
 )
-SELECT doc_id, region_id,
+SELECT doc_id, region_id, {text_sel}
        {_rha_int("bx1")} AS x,
        {_rha_int("by1")} AS y,
        {_rha_int("(bx2 - bx1)")} AS width,

@@ -266,10 +266,20 @@ def build_registry() -> tuple[dict, dict]:
 
     # pixel-native D1-D7 detection over rendered page rasters, oracled
     # from the RENDER SPEC (no pinned kernel output — round-2 VERDICT #1)
-    from .pipeline.raster_ocr import raster_ocr_oracle, raster_ocr_regions
+    from .pipeline.raster_ocr import (
+        raster_ocr_oracle,
+        raster_ocr_regions,
+        raster_ocr_spans,
+    )
 
     queries["raster_ocr_regions"] = raster_ocr_regions
     oracles["raster_ocr_regions"] = raster_ocr_oracle()
+
+    # end-to-end pixel-native OCR: glyph-coded raster -> detect -> crop at
+    # DETECTED geometry -> pixel-read recognize -> CTC; the source text
+    # never reaches the model stub
+    queries["raster_ocr_spans"] = raster_ocr_spans
+    oracles["raster_ocr_spans"] = raster_ocr_oracle(with_text=True)
 
     # SLANet table-structure decode over merged <table> blocks (§2.7)
     from .pipeline.tables import TABLE_CELLS_ORACLE, table_cells
