@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "ocr_spans",
     "raster_ocr_regions",
     "raster_ocr_spans",
+    "raster_layout_blocks",
     "trocr_transcripts",
     "layout_instances",
     "table_cells",

@@ -281,6 +281,14 @@ def build_registry() -> tuple[dict, dict]:
     queries["raster_ocr_spans"] = raster_ocr_spans
     oracles["raster_ocr_spans"] = raster_ocr_oracle(with_text=True)
 
+    # pixel-native layout detection: anchor-free pixel head -> real
+    # L2-L7+NMS+L12 decode, spec-oracled (incl. abandon drop + sub-stride
+    # miss semantics)
+    from .pipeline.raster_layout import raster_layout_blocks, raster_layout_oracle
+
+    queries["raster_layout_blocks"] = raster_layout_blocks
+    oracles["raster_layout_blocks"] = raster_layout_oracle()
+
     # SLANet table-structure decode over merged <table> blocks (§2.7)
     from .pipeline.tables import TABLE_CELLS_ORACLE, table_cells
 
