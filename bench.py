@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "raster_ocr_regions",
     "raster_ocr_spans",
     "raster_layout_blocks",
+    "raster_extract_text",
     "trocr_transcripts",
     "layout_instances",
     "table_cells",

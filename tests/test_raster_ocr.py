@@ -129,3 +129,52 @@ def test_recognizer_reads_pixels_not_text():
     )
     assert decoded == "Hello world pixel path test six seven eight"
     assert decoded != text  # the pixel flip, not the source string, won
+
+
+def test_pixel_extraction_byte_identical():
+    from usls_doc_spark.pipeline.raster_ocr import extract_from_raster
+
+    for doc_id, text in [
+        (0, " ".join(f"w{i}" for i in range(70))),
+        (1, " ".join(f"tok{i}" for i in range(50))),   # two-column page
+        (7, " ".join(["UPPER & lower! 123"] * 15)),    # two-column page
+        (13, "x" * 47),
+    ]:
+        n, out = extract_from_raster(doc_id, text)
+        assert out == text  # byte-identical, entirely from pixels
+
+
+def test_twocol_requires_xycut_reordering():
+    """On a two-column page the detector discovers regions row-interleaved
+    across columns (row-major component labeling); only the XY-cut column
+    split restores chunk order. Assert the interleave is REAL — i.e. the
+    text joined in detection order is wrong — so the green oracle row
+    genuinely certifies the ordering stage."""
+    from usls_doc_spark.io.synth import chunk_text
+    from usls_doc_spark.kernels.ocr import ctc_greedy_decode, db_postprocess
+    from usls_doc_spark.kernels.yolo_decode import round_half_away
+    from usls_doc_spark.pipeline.ocr import MAX_DECODE_LEN, VOCAB
+    from usls_doc_spark.pipeline.raster_ocr import (
+        _render_glyphs,
+        raster_extract_spec,
+        read_glyph_logits,
+    )
+
+    text = " ".join(f"tok{i}" for i in range(50))
+    chunks = chunk_text(text)
+    rects = raster_extract_spec(1, chunks)
+    raster = _render_glyphs(rects, chunks)
+    regions = db_postprocess(raster.astype(np.float32) / np.float32(255.0), ratio=1.0)
+    detection_order_text = []
+    for r in regions:
+        x1, y1, x2, y2 = r["bbox"]
+        x = int(round_half_away(np.float32(x1)))
+        y = int(round_half_away(np.float32(y1)))
+        w = int(round_half_away(np.float32(x2 - x1)))
+        h = int(round_half_away(np.float32(y2 - y1)))
+        detection_order_text.append(
+            ctc_greedy_decode(read_glyph_logits(raster[y : y + h, x : x + w]),
+                              VOCAB, max_length=MAX_DECODE_LEN)
+        )
+    assert " ".join(detection_order_text) != text  # interleaved without XY-cut
+    assert sorted(detection_order_text) == sorted(chunks)

@@ -207,6 +207,116 @@ def raster_ocr_spans(spark, sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# full pixel-native extraction: page image -> detect -> XY-cut reading
+# order -> pixel OCR -> byte-identical extracted text. Two-column pages
+# (doc_id % 3 == 1, mirroring synth's TWOCOL_MOD) lay the chunks out
+# column-major with a 64px column gap, so the detection discovers regions
+# ROW-INTERLEAVED across columns and only a correct XY-cut (column split
+# before row splits) reassembles the original text — the text-equality
+# oracle therefore proves the reading order, not just the recognition.
+# ---------------------------------------------------------------------------
+
+TWOCOL_GAP = 64  # > max y-gap even after unclip dilation: columns cut first
+
+RASTER_EXTRACT_SCHEMA = "doc_id bigint, n_regions int, extracted_text string"
+
+
+def raster_extract_spec(doc_id: int, chunks: list[str]) -> list[tuple[int, int, int, int]]:
+    """Rect per chunk, IN CHUNK ORDER. Two-column pages place the first
+    ceil(n/2) chunks in the left column."""
+    if doc_id % 3 == 1 and len(chunks) >= 4:
+        nleft = (len(chunks) + 1) // 2
+        colw = 4 * max(len(c) for c in chunks)
+        rects = []
+        for i, c in enumerate(chunks):
+            col, row = (0, i) if i < nleft else (1, i - nleft)
+            rects.append(
+                (
+                    16 + col * (colw + TWOCOL_GAP),
+                    16 + 40 * row,
+                    4 * len(c),
+                    16 + 4 * ((doc_id + i) % 2),
+                )
+            )
+        return rects
+    return raster_spec(doc_id, " ".join(chunks))
+
+
+def _render_glyphs(rects, chunks) -> np.ndarray:
+    """Free-layout glyph render (render_page_raster assumes one rect per
+    40px line; two-column pages need max-extent sizing instead)."""
+    height = max(y0 + h for _x, y0, _w, h in rects) + 16
+    width = max(x0 + w for x0, _y, w, _h in rects) + 16
+    img = np.zeros((height, width), dtype=np.uint8)
+    for (x0, y0, w, h), chunk in zip(rects, chunks):
+        codes = np.frombuffer(chunk.encode("ascii"), dtype=np.uint8)
+        img[y0 : y0 + h, x0 : x0 + w] = np.repeat(codes + GLYPH_BIAS, RASTER_CELL)[None, :]
+    return img
+
+
+def extract_from_raster(doc_id: int, text: str) -> tuple[int, str]:
+    """One page, end-to-end from pixels. Returns (n_regions, text)."""
+    from ..kernels.xycut import xycut_order
+
+    chunks = chunk_text(text)
+    rects = raster_extract_spec(doc_id, chunks)
+    raster = _render_glyphs(rects, chunks)
+    regions = db_postprocess(raster.astype(np.float32) / np.float32(255.0), ratio=1.0)
+    if len(regions) != len(chunks):
+        raise RuntimeError(
+            f"doc {doc_id}: {len(regions)} regions for {len(chunks)} chunks"
+        )
+    boxes = []
+    crops = []
+    for r in regions:
+        x1, y1, x2, y2 = r["bbox"]
+        x = int(round_half_away(np.float32(x1)))
+        y = int(round_half_away(np.float32(y1)))
+        w = int(round_half_away(np.float32(x2 - x1)))
+        h = int(round_half_away(np.float32(y2 - y1)))
+        boxes.append((x, y, w, h))
+        crops.append(raster[y : y + h, x : x + w])
+    order = xycut_order(np.asarray(boxes, dtype=np.float64))
+    texts = [
+        ctc_greedy_decode(read_glyph_logits(crops[i]), VOCAB, max_length=MAX_DECODE_LEN)
+        for i in order
+    ]
+    return len(regions), " ".join(texts)
+
+
+def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ["doc_id", "n_regions", "extracted_text"]
+    for pdf in batches:
+        rows = []
+        for d, t in zip(pdf["doc_id"], pdf["text"]):
+            n, txt = extract_from_raster(int(d), t)
+            rows.append((int(d), n, txt))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def raster_extract_text(spark, sf_dir: str):
+    """documents -> byte-identical extracted text, entirely from pixels:
+    render -> D1-D7 detect -> XY-cut order -> pixel-read recognize -> join.
+    Oracle: extracted_text == documents.text (the north-rule per-row
+    invariant), n_regions == the chunk count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    nparts = spark.sparkContext.defaultParallelism * 4
+    return docs.repartition(nparts, "doc_id").mapInPandas(
+        _extract_batch, schema=RASTER_EXTRACT_SCHEMA
+    )
+
+
+RASTER_EXTRACT_ORACLE = """
+SELECT doc_id,
+       CAST(len([array_to_string((string_split(text, ' '))[i:i+7], ' ')
+                 for i in range(1, len(string_split(text, ' ')) + 1, 8)]) AS INT)
+         AS n_regions,
+       text AS extracted_text
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # symbolic oracle builder (DuckDB SQL, constructed from the render spec)
 # ---------------------------------------------------------------------------
 

@@ -281,6 +281,13 @@ def build_registry() -> tuple[dict, dict]:
     queries["raster_ocr_spans"] = raster_ocr_spans
     oracles["raster_ocr_spans"] = raster_ocr_oracle(with_text=True)
 
+    # the pixel-native flagship: render -> detect -> XY-cut -> recognize ->
+    # byte-identical extracted text (two-column pages prove the ordering)
+    from .pipeline.raster_ocr import RASTER_EXTRACT_ORACLE, raster_extract_text
+
+    queries["raster_extract_text"] = raster_extract_text
+    oracles["raster_extract_text"] = RASTER_EXTRACT_ORACLE
+
     # pixel-native layout detection: anchor-free pixel head -> real
     # L2-L7+NMS+L12 decode, spec-oracled (incl. abandon drop + sub-stride
     # miss semantics)
