@@ -48,8 +48,13 @@ _CHAR_TO_ID = {c: i for i, c in enumerate(VOCAB)}
 MAX_DECODE_LEN = 4096
 
 CELL = 4  # px per char in the stub prob map
-PAD = 4
-MAP_H = 24
+# margin EXCEEDS the maximum unclip delta (0.75 * RECT_H-1 = 8.25), so no
+# offset vertex ever clamps at the map border and the detect geometry has
+# the clamp-free closed form the symbolic oracle states
+# (pipeline/raster_ocr.rect_detect_geometry_sql — this replaced the pinned
+# operators/ocr_geom.py lookup in round 3)
+PAD = 16
+MAP_H = 44  # PAD + RECT_H + PAD
 RECT_H = 12
 
 

@@ -365,17 +365,52 @@ def _rha_int(expr: str) -> str:
     return f"CAST(floor(CAST({expr} AS FLOAT) + CAST(0.5 AS FLOAT)) AS INT)"
 
 
+def rect_detect_geometry_sql(spec_cte: str, carry_cols: str) -> str:
+    """Compose the closed-form D1-D7 geometry statement over ANY spec CTE
+    producing (``carry_cols``..., x0, y0, w, h) integer columns — the
+    shared symbolic core: delta, unclip offsets, the 12-gon hull's ordered
+    shoelace, bbox rounding, float32 conf. Returns a full query (WITH
+    included). Assumes the raster layout invariants (solid rects, w >= 4,
+    h >= 4, no border clamping) that render time asserts."""
+    hull_area = _shoelace_fold(_hull_vertices())
+    carry = (carry_cols + ", ") if carry_cols else ""
+    return f"""
+WITH {spec_cte},
+geom AS (
+  SELECT {carry}
+         CAST(x0 AS DOUBLE) AS x0d, CAST(y0 AS DOUBLE) AS y0d,
+         CAST(x0 + w - 1 AS DOUBLE) AS xrd, CAST(y0 + h - 1 AS DOUBLE) AS ybd,
+         (CAST((w - 1) * (h - 1) AS DOUBLE) * 1.5)
+           / (2.0 * ((w - 1) + (h - 1))) AS dd
+  FROM spec
+),
+geom2 AS (
+  SELECT *, ((1.0 / sqrt(2.0)) * dd) AS qd FROM geom
+),
+boxes AS (
+  SELECT {carry}
+         (x0d - dd) AS bx1, (y0d - dd) AS by1,
+         (xrd + dd) AS bx2, (ybd + dd) AS by2,
+         {hull_area} AS hull_area
+  FROM geom2
+)
+SELECT {carry}
+       {_rha_int("bx1")} AS x,
+       {_rha_int("by1")} AS y,
+       {_rha_int("(bx2 - bx1)")} AS width,
+       {_rha_int("(by2 - by1)")} AS height,
+       CAST(hull_area / ((bx2 - bx1) * (by2 - by1)) AS FLOAT) AS conf
+FROM boxes
+"""
+
+
 def raster_ocr_oracle(with_text: bool = False) -> str:
     """DuckDB oracle built from the render spec. With ``with_text``, adds
     span_text == the source chunk — the recognition invariant the
     pixel-reading recognizer must reproduce end-to-end."""
-    verts = _hull_vertices()
-    hull_area = _shoelace_fold(verts)
     text_col = "unnest(chunks) AS span_text,\n         " if with_text else ""
-    text_sel = "span_text, " if with_text else ""
     text_carry = "span_text, " if with_text else ""
-    return f"""
-WITH d0 AS (
+    spec = f"""d0 AS (
   SELECT doc_id,
          [array_to_string((string_split(text, ' '))[i:i+7], ' ')
           for i in range(1, len(string_split(text, ' ')) + 1, 8)] AS chunks
@@ -392,30 +427,6 @@ spec AS (
          16 + 4 * (k % 3) AS x0, 16 + 40 * k AS y0,
          4 * c AS w, 16 + 4 * ((doc_id + k) % 2) AS h
   FROM ch
-),
-geom AS (
-  SELECT doc_id, region_id, {text_carry}
-         CAST(x0 AS DOUBLE) AS x0d, CAST(y0 AS DOUBLE) AS y0d,
-         CAST(x0 + w - 1 AS DOUBLE) AS xrd, CAST(y0 + h - 1 AS DOUBLE) AS ybd,
-         (CAST((w - 1) * (h - 1) AS DOUBLE) * 1.5)
-           / (2.0 * ((w - 1) + (h - 1))) AS dd
-  FROM spec
-),
-geom2 AS (
-  SELECT *, ((1.0 / sqrt(2.0)) * dd) AS qd FROM geom
-),
-boxes AS (
-  SELECT doc_id, region_id, {text_carry}
-         (x0d - dd) AS bx1, (y0d - dd) AS by1,
-         (xrd + dd) AS bx2, (ybd + dd) AS by2,
-         {hull_area} AS hull_area
-  FROM geom2
-)
-SELECT doc_id, region_id, {text_sel}
-       {_rha_int("bx1")} AS x,
-       {_rha_int("by1")} AS y,
-       {_rha_int("(bx2 - bx1)")} AS width,
-       {_rha_int("(by2 - by1)")} AS height,
-       CAST(hull_area / ((bx2 - bx1) * (by2 - by1)) AS FLOAT) AS conf
-FROM boxes
-"""
+)"""
+    carry = "doc_id, region_id" + (", span_text" if with_text else "")
+    return rect_detect_geometry_sql(spec, carry)

@@ -110,67 +110,31 @@ FROM (
 def ocr_regions_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full OCR region rows incl. unclipped-polygon geometry + confidence.
 
-    The stub DB prob map makes the detect-postprocess geometry a pure
-    function of the chunk character count, so the oracle joins the span
-    oracle to the PINNED geometry table (operators/ocr_geom.py, generated
-    once by scripts/gen_ocr_geom.py) on length(span_text) — a kernel
-    regression fails the hash instead of being silently followed.
-
-    Coverage guard (round-2 ADVICE): the pinned table spans n_chars
-    1..MAX; a longer-than-pinned chunk on some other dataset would be
-    silently DROPPED by the oracle's inner join, so assert up front that
-    the longest 8-word chunk in this sf_dir is covered (one bounded
-    1-row collect over an aggregate — loud error instead of a confusing
-    hash-red row)."""
-    from pyspark.sql import functions as F
-
-    from .operators.ocr_geom import GEOM_ROWS
+    The stub DB prob map renders each span as a solid rectangle at
+    (PAD, PAD) of size (4*n_chars, RECT_H) with margins exceeding the
+    maximum unclip delta, so the detect-postprocess geometry has the
+    clamp-free CLOSED FORM the symbolic render-spec oracle states
+    (pipeline/raster_ocr.rect_detect_geometry_sql) — any chunk length is
+    covered, no pinned kernel-output lookup (round-2 VERDICT item 3:
+    pinned-oracle circularity eliminated)."""
     from .pipeline.ocr import ocr_spans
 
-    max_pinned = max(r[0] for r in GEOM_ROWS)
-    longest = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select(
-            F.expr(
-                f"array_max(transform(sequence(1, size(split(text, ' ')), {CHUNK_WORDS}), "
-                f"i -> length(array_join(slice(split(text, ' '), i, {CHUNK_WORDS}), ' '))))"
-            ).alias("m")
-        )
-        .agg(F.max("m").alias("m"))
-        .collect()[0]["m"]
-    )
-    if longest is not None and longest > max_pinned:
-        raise ValueError(
-            f"ocr_regions_detail: dataset has a {longest}-char chunk but the "
-            f"pinned geometry table covers only n_chars <= {max_pinned}; "
-            "regenerate with scripts/gen_ocr_geom.py --max-n"
-        )
     pages = pages_from_documents(spark, sf_dir)
     return ocr_spans(pages)
 
 
 def _ocr_regions_oracle() -> str:
-    from .operators.ocr_geom import GEOM_ROWS
+    from .pipeline.ocr import CELL, PAD, RECT_H
+    from .pipeline.raster_ocr import rect_detect_geometry_sql
 
-    # conf literals go through ::DOUBLE — DuckDB parses bare numeric
-    # literals as DECIMAL, whose direct cast to FLOAT rounds differently
-    # than the double->float32 conversion the Spark side performs
-    values = ",\n    ".join(
-        f"({n}, {x}, {y}, {w}, {h}, CAST({conf!r} AS DOUBLE))"
-        for n, x, y, w, h, conf in GEOM_ROWS
-    )
-    return f"""
-WITH spans AS ({OCR_SPANS_ORACLE}),
-geom(n_chars, x, y, width, height, conf) AS (
-  VALUES
-    {values}
-)
-SELECT s.url, s.region_id, s.span_text,
-       CAST(g.x AS INT) AS x, CAST(g.y AS INT) AS y,
-       CAST(g.width AS INT) AS width, CAST(g.height AS INT) AS height,
-       CAST(g.conf AS FLOAT) AS conf
-FROM spans s JOIN geom g ON length(s.span_text) = g.n_chars
-"""
+    spec = f"""spans AS ({OCR_SPANS_ORACLE}),
+spec AS (
+  SELECT url, region_id, span_text,
+         {PAD} AS x0, {PAD} AS y0,
+         {CELL} * length(span_text) AS w, {RECT_H} AS h
+  FROM spans
+)"""
+    return rect_detect_geometry_sql(spec, "url, region_id, span_text")
 
 
 def extract_block_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
