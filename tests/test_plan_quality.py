@@ -126,3 +126,37 @@ def test_table_cells_prefilters_before_arrow(spark):
     # physical plans print children BELOW their parents: the filter line
     # must appear after (= beneath) the MapInPandas operator
     assert fpos > ipos
+
+
+def test_raster_queries_prune_scan_and_shuffle_once(spark):
+    """The pixel-native family: scans prune to (doc_id, text); the ONLY
+    exchange is the explicit pre-UDF repartition (zero shuffles after the
+    Arrow crossing — the path is embarrassingly parallel)."""
+    from usls_doc_spark.pipeline.raster_layout import raster_layout_blocks
+    from usls_doc_spark.pipeline.raster_ocr import raster_extract_text, raster_ocr_spans
+
+    for fn in (raster_ocr_spans, raster_layout_blocks, raster_extract_text):
+        plan = plan_of(fn(spark, SF_DIR))
+        read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "doc_id" in read and "text" in read and "lang" not in read, fn.__name__
+        assert plan.count("Exchange") == 1, fn.__name__  # the repartition only
+
+
+def test_decontaminate_no_cartesian_single_pass(spark):
+    from usls_doc_spark.queries import build_registry
+
+    qs, _ = build_registry()
+    plan = plan_of(qs["decontaminate_ngram_overlap"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "lang" not in read  # only doc_id + text reach the scan
+
+
+def test_components_edges_plan_is_equi_join(spark):
+    from usls_doc_spark.operators.dialect import SPARK as SPARK_D
+    from usls_doc_spark.operators.text_queries import build_verified_pairs
+    from usls_doc_spark.queries import _register_views
+
+    _register_views(spark, SF_DIR)
+    plan = plan_of(spark.sql(build_verified_pairs(SPARK_D)))
+    assert "CartesianProduct" not in plan

@@ -468,6 +468,52 @@ SELECT (SELECT count(*) FROM exact) AS n_exact,
 """
 
 
+def q_decontaminate(d: Dialect) -> str:
+    """Benchmark decontamination: count 5-word shingle overlaps between
+    every corpus document and a held-out benchmark set (docs with
+    doc_id % 100 = 7 stand in for the eval benchmark), plus the
+    drop-eligible flag (any overlap). This is the canonical training-data
+    hygiene operator (the n-gram-overlap decontamination used for
+    GPT-3/Llama-style training sets).
+
+    Scale shape: benchmark shingles are a SMALL side at any corpus size
+    (benchmarks are fixed-size; here ~1% of docs) — distinct-project it
+    and let AQE broadcast; the corpus side streams through one explode ->
+    semi-style aggregate join keyed on the shingle. No self-join, no
+    quadratic term; output is one row per corpus doc.
+    """
+    w = _words(d)
+    sh = d.array_distinct(d.shingles("ws", 5))
+    if d.name == "spark":
+        explode = "LATERAL VIEW explode(sh) t AS s"
+    else:
+        explode = ", unnest(sh) AS t(s)"
+    return f"""
+WITH ds AS (
+  SELECT doc_id, {sh} AS sh FROM (SELECT doc_id, {w} AS ws FROM documents)
+),
+bench AS (
+  SELECT DISTINCT s FROM (SELECT doc_id, sh FROM ds WHERE doc_id % 100 = 7) b
+  {explode}
+),
+corpus AS (
+  SELECT doc_id, s FROM (SELECT doc_id, sh FROM ds WHERE doc_id % 100 <> 7) c
+  {explode}
+),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_overlaps
+  FROM corpus c JOIN bench b ON c.s = b.s
+  GROUP BY c.doc_id
+)
+SELECT d0.doc_id,
+       {d.array_len("d0.sh")} AS n_shingles,
+       COALESCE(h.n_overlaps, 0) AS n_overlaps,
+       CASE WHEN COALESCE(h.n_overlaps, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM (SELECT doc_id, sh FROM ds WHERE doc_id % 100 <> 7) d0
+LEFT JOIN hits h ON d0.doc_id = h.doc_id
+"""
+
+
 def q_corpus_curation(d: Dialect) -> str:
     """The composed training-data curation pipeline in one plan: quality
     gate -> LSH near-dup candidates -> exact-Jaccard verify (>= 0.5) ->
@@ -600,6 +646,7 @@ FROM codes
 
 TEXT_QUERIES = {
     "lsh_recall": q_lsh_recall,
+    "decontaminate_ngram_overlap": q_decontaminate,
     "corpus_curation": q_corpus_curation,
     "fingerprint_rolling_hash": q_rolling_hash,
     "dedup_incremental": q_dedup_incremental,
