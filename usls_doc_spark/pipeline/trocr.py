@@ -15,6 +15,14 @@ Both stop conditions are exercised and oracled: `transcript` stops on EOS
 Batching (R6): sequences advance doc-at-a-time inside the Arrow batch —
 the stub decoder is cheap; a real ONNX decoder would re-run the batch of
 unfinished sequences per step exactly as trocr/impl.rs:74-121 does.
+
+`sampled_transcript` runs the SAME loop through the R5 top-p sampler
+(kernels/sampler.py, logits_sampler.rs:34-93 semantics) at temperature
+0.05: the temperature-sharpened softmax makes the argmax token's nucleus
+mass ~1-4e-7, so the p=0.9 nucleus collapses to a single candidate and
+the sampled output provably equals the greedy one — which is what makes a
+sampling path ORACLE-CHECKABLE at all. Non-degenerate temperatures (flat
+nuclei, cumulative-weight draws) are exercised in tests/test_sampler.py.
 """
 
 from __future__ import annotations
@@ -26,8 +34,33 @@ import pandas as pd
 
 from ..kernels.boilerplate import classify_block, parse_blocks
 from ..kernels.ocr import greedy_generate
+from ..kernels.sampler import sample_topp, xorshift64s
 
-TROCR_SCHEMA = "url string, transcript string, capped_transcript string"
+TROCR_SCHEMA = (
+    "url string, transcript string, capped_transcript string, "
+    "sampled_transcript string"
+)
+
+SAMPLE_P = 0.9
+SAMPLE_TEMPERATURE = 0.05
+SAMPLE_SEED = 0xD0C5EED
+
+
+def sampled_generate(step_fn, start_token: int, eos_token: int,
+                     max_steps: int, p: float, temperature: float,
+                     seed: int) -> list[int]:
+    """The greedy_generate loop with the top-p sampler as the token rule
+    (trocr/impl.rs:74-121 + logits_sampler decode). Deterministic via the
+    seeded uniform stream."""
+    uniform = xorshift64s(seed)
+    ids = [start_token]
+    for _ in range(max_steps):
+        logits = np.asarray(step_fn(ids), dtype=np.float32)
+        nxt = sample_topp(logits[-1], p=p, temperature=temperature, uniform=uniform)
+        if nxt == eos_token:
+            break
+        ids.append(nxt)
+    return ids[1:]
 
 PAD_ID, START_ID, EOS_ID = 0, 1, 2
 VOCAB = ["<pad>", "<s>", "</s>"] + [chr(c) for c in range(0x20, 0x7F)]
@@ -71,7 +104,7 @@ def _first_plain_text(html_bytes) -> str | None:
 
 
 def trocr_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    cols = ["url", "transcript", "capped_transcript"]
+    cols = ["url", "transcript", "capped_transcript", "sampled_transcript"]
     for pdf in batches:
         rows = []
         for url, html in zip(pdf["url"], pdf["html"]):
@@ -81,7 +114,13 @@ def trocr_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             step = stub_decoder_step(_encode(text))
             full = greedy_generate(step, START_ID, EOS_ID, max_steps=MAX_STEPS)
             capped = greedy_generate(step, START_ID, EOS_ID, max_steps=CAP_STEPS)
-            rows.append((url, _decode_ids(full), _decode_ids(capped)))
+            sampled = sampled_generate(
+                step, START_ID, EOS_ID, MAX_STEPS,
+                SAMPLE_P, SAMPLE_TEMPERATURE, SAMPLE_SEED,
+            )
+            rows.append(
+                (url, _decode_ids(full), _decode_ids(capped), _decode_ids(sampled))
+            )
         yield pd.DataFrame(rows, columns=cols)
 
 
@@ -96,6 +135,7 @@ def trocr_transcripts(spark, sf_dir: str):
 TROCR_ORACLE = """
 SELECT 'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
        array_to_string((string_split(text, ' '))[1:8], ' ') AS transcript,
-       substr(array_to_string((string_split(text, ' '))[1:8], ' '), 1, 16) AS capped_transcript
+       substr(array_to_string((string_split(text, ' '))[1:8], ' '), 1, 16) AS capped_transcript,
+       array_to_string((string_split(text, ' '))[1:8], ' ') AS sampled_transcript
 FROM documents
 """
