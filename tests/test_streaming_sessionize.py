@@ -33,15 +33,19 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path_factory):
         part = next((stage / sub).glob("part-*.parquet"))
         part.rename(base / f"batch{i}.parquet")
 
-    q = streaming_sessionize(spark, str(base), "sess_state_test", max_files=1)
+    sink = str(tmp_path_factory.mktemp("sess_sink") / "updates")
+    q, sink = streaming_sessionize(spark, str(base), "sess_state_test", max_files=1,
+                                   sink_dir=sink)
     try:
         q.processAllAvailable()
+        desc = (q.lastProgress or {}).get("sink", {}).get("description", "")
     finally:
         q.stop()
-    # update-mode memory sink: counts are monotone, max = final
+    assert "ForeachBatch" in desc and "MemorySink" not in desc
+    # update log appended per trigger: counts are monotone, max = final
     got = {
         r["user_id"]: (r["ns"], r["ne"])
-        for r in spark.table("sess_state_test")
+        for r in spark.read.parquet(sink)
         .groupBy("user_id")
         .agg(F.max("n_sessions").alias("ns"), F.max("n_events").alias("ne"))
         .collect()
@@ -78,3 +82,78 @@ def test_sessionize_group_sorts_across_chunks():
     assert len(out) == 1
     row = out[0].iloc[0]
     assert (row.user_id, row.n_sessions, row.n_events) == (7, 2, 5)
+
+
+def test_watermark_drops_late_events(spark, tmp_path_factory):
+    """Append-mode watermark semantics, deterministically: batch 1 advances
+    the watermark to 11:00; batch 2 carries one event INSIDE the still-open
+    06:00-12:00 window (kept) and one for the already-finalized 00:00-06:00
+    window (dropped). The emitted 00-06 row must count only batch-1 rows."""
+    import datetime as dt
+
+    base = tmp_path_factory.mktemp("late_stream")
+    cp = str(tmp_path_factory.mktemp("late_cp"))
+    out_dir = str(tmp_path_factory.mktemp("late_out") / "rows")
+    cols = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(rows, cols).coalesce(1)
+        stage = tmp_path_factory.mktemp(f"stage_{name}")
+        df.write.parquet(str(stage / "d"))
+        part = next((stage / "d").glob("part-*.parquet"))
+        part.rename(base / f"{name}.parquet")
+
+    t = lambda hh, mm=0: dt.datetime(2024, 1, 1, hh, mm)
+    import os
+
+    # batch 1: two events in 00-06, one at 12:00 (watermark -> 11:00)
+    write_batch("b0", [(1, t(1), 1, "c", 1.0, ""), (2, t(2), 1, "c", 1.0, ""),
+                       (3, t(12), 1, "c", 1.0, "")])
+    os.utime(base / "b0.parquet", (1_000_000, 1_000_000))
+    # batch 2: in-watermark row; the 11:00 watermark takes effect and the
+    # 00-06 window (n=2) finalizes/emits at this batch's commit (the
+    # watermark computed by batch N filters inputs from batch N+2 on —
+    # it lags one batch by design)
+    write_batch("b1", [(4, t(11, 30), 1, "c", 1.0, "")])
+    os.utime(base / "b1.parquet", (2_000_000, 2_000_000))
+    # batch 3: 10:30 within watermark (kept in open 06-12 state); 03:00 is
+    # later than the finalized 00-06 window -> DROPPED by the watermark
+    write_batch("b2", [(5, t(10, 30), 1, "c", 1.0, ""), (6, t(3), 1, "c", 1.0, "")])
+    os.utime(base / "b2.parquet", (3_000_000, 3_000_000))
+
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(cols)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(base))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for pr in q.recentProgress
+            for op in pr.get("stateOperators", [])
+        )
+    finally:
+        q.stop()
+    assert dropped == 1  # exactly the 03:00 straggler
+    rows = {r["win_start"]: r["n"] for r in spark.read.parquet(out_dir).collect()}
+    # only the 00-06 window has closed (watermark 11:00 > 06:00); its count
+    # is 2 — the late 03:00 event was watermark-dropped, and the in-watermark
+    # 10:30/11:30 events sit in the still-open 06-12 state (not emitted)
+    assert rows == {dt.datetime(2024, 1, 1, 0, 0): 2}

@@ -4,12 +4,24 @@ events table, driven to completion against the parquet file source.
 The reference's streaming analogue is the DataLoader producer/consumer
 pipeline (/root/reference/src/misc/dataloader.rs:234-331 — bounded-channel
 batches). Spark-first re-expression: readStream -> withWatermark ->
-window agg -> memory sink. The batch query events_tumbling_window
-(operators/relational.py) is the exact batch equivalent the oracle checks;
-this streaming version must produce identical rows in complete mode.
+window agg -> foreachBatch overwrite sink (executor-side parquet write,
+NO driver-memory sink — same discipline as streaming/dedup.py; complete
+mode rewrites the full aggregate per trigger, and its cardinality is
+windows x event types, so the per-trigger overwrite is bounded). The
+batch query events_tumbling_window (operators/relational.py) is the exact
+batch equivalent the oracle checks; this streaming version must produce
+identical rows.
+
+Late-data semantics (append mode + watermark eviction) are exercised
+deterministically in tests/test_streaming_sessionize.py::
+test_watermark_drops_late_events via a controlled 2-file micro-batch
+split.
 """
 
 from __future__ import annotations
+
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,9 +61,19 @@ def streaming_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+    import atexit
+
+    sink_dir = tempfile.mkdtemp(prefix="usls_stream_events_")
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    atexit.register(shutil.rmtree, sink_dir, ignore_errors=True)
+
+    def _overwrite(batch_df: DataFrame, _batch_id: int) -> None:
+        # complete mode re-emits the whole (bounded) aggregate: replace
+        batch_df.write.mode("overwrite").parquet(sink_dir)
+
     q = (
         agg.writeStream.outputMode("complete")
-        .format("memory")
+        .foreachBatch(_overwrite)
         .queryName(_QUERY_NAME)
         .start()
     )
@@ -59,7 +81,7 @@ def streaming_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(_QUERY_NAME)
+    return spark.read.parquet(sink_dir)
 
 
 # identical to EVENTS_TUMBLING_ORACLE (relational.py) — the streaming query

@@ -53,15 +53,23 @@ def _sessionize_group(key, pdfs, state: GroupState):
     )
 
 
-def streaming_sessionize(spark, events_dir: str, query_name: str, max_files: int = 1):
+def streaming_sessionize(spark, events_dir: str, query_name: str, max_files: int = 1,
+                         sink_dir: str | None = None):
     """Start the stateful sessionization stream over parquet event files.
 
-    Returns the StreamingQuery; results land in the ``query_name`` memory
-    table (update mode — latest row per user wins, counts are monotone).
+    Returns (StreamingQuery, sink_dir): update rows append to ``sink_dir``
+    parquet through foreachBatch ON THE EXECUTORS (no driver-memory sink —
+    per-user state is corpus-cardinality at scale; same discipline as
+    streaming/dedup.py). Fold the log with max() per user: counts are
+    monotone, so the latest update per key is the max.
     """
+    import tempfile
+
     for q in spark.streams.active:
         if q.name == query_name:
             q.stop()
+    if sink_dir is None:
+        sink_dir = tempfile.mkdtemp(prefix="usls_stream_sess_") + "/updates"
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files)
@@ -75,9 +83,14 @@ def streaming_sessionize(spark, events_dir: str, query_name: str, max_files: int
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return (
+
+    def _append(batch_df, _batch_id):
+        batch_df.write.mode("append").parquet(sink_dir)
+
+    q = (
         out.writeStream.outputMode("update")
-        .format("memory")
+        .foreachBatch(_append)
         .queryName(query_name)
         .start()
     )
+    return q, sink_dir
