@@ -178,3 +178,46 @@ def test_twocol_requires_xycut_reordering():
         )
     assert " ".join(detection_order_text) != text  # interleaved without XY-cut
     assert sorted(detection_order_text) == sorted(chunks)
+
+
+def test_closed_form_geometry_property_fuzz():
+    """Property: for ANY solid rectangle within the render invariants
+    (margins > max delta, w >= 4, h in [4, 24]), the kernel's D1-D7 output
+    equals the symbolic SQL statement bit-for-bit — not just at the spec's
+    own configs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from usls_doc_spark.kernels.ocr import db_postprocess
+    from usls_doc_spark.kernels.yolo_decode import round_half_away
+    from usls_doc_spark.pipeline.raster_ocr import rect_detect_geometry_sql
+
+    con = duckdb.connect(":memory:")
+
+    # h >= 12 keeps the dilated height above the D6 min-height filter for
+    # every w >= 4 (the symbolic statement covers detected regions only)
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(20, 40), st.integers(20, 40), st.integers(4, 200), st.integers(12, 24))
+    def check(x0, y0, w, h):
+        # margin invariant: max delta = 0.75*min(w-1,h-1) must clear x0/y0
+        d_max = 0.75 * min(w - 1, h - 1)
+        if d_max >= min(x0, y0):
+            return
+        img = np.zeros((y0 + h + y0, x0 + w + x0), dtype=np.uint8)
+        img[y0 : y0 + h, x0 : x0 + w] = 230
+        regions = db_postprocess(img.astype(np.float32) / np.float32(255.0), ratio=1.0)
+        assert len(regions) == 1
+        r = regions[0]
+        x1, y1, x2, y2 = r["bbox"]
+        got = (
+            int(round_half_away(np.float32(x1))), int(round_half_away(np.float32(y1))),
+            int(round_half_away(np.float32(x2 - x1))), int(round_half_away(np.float32(y2 - y1))),
+            r["conf"],
+        )
+        sql = rect_detect_geometry_sql(
+            f"spec AS (SELECT {x0} AS x0, {y0} AS y0, {w} AS w, {h} AS h)", ""
+        )
+        want = con.sql(sql).fetchone()
+        assert got == tuple(want), (x0, y0, w, h)
+
+    check()
