@@ -50,3 +50,32 @@ def test_familiarity_values_exact():
     n_total = sum(max(len(t) - 2, 0) for _, t, _ in DOCS)
     assert rows[3][1] == 1
     assert rows[3][2] == (2 * 1_000_000) / (1 * n_total)
+
+
+def test_repetition_filter_flags_repetitive_docs(spark):
+    """A boilerplate-loop document must flip repetition_keep to 0 in BOTH
+    engines (testdata is uniformly low-repetition, so the threshold branch
+    needs a synthetic positive)."""
+    from usls_doc_spark.operators.text_queries import q_repetition_filter
+
+    docs = [
+        (1, "click here to buy now " * 30, "en"),           # dup 3-grams galore
+        (2, " ".join(f"unique{i}" for i in range(60)), "en"),
+        (3, "spam " * 50 + "end", "en"),                     # top word share ~1
+    ]
+    docs = [(i, t.strip(), lg) for i, t, lg in docs]
+    spark.createDataFrame(docs, "doc_id bigint, text string, lang string") \
+        .createOrReplaceTempView("documents")
+    got = {r.doc_id: (r.repetition_keep, r.dup_trigram_fraction, r.top_word_fraction)
+           for r in spark.sql(q_repetition_filter(SPARK)).collect()}
+    assert got[1][0] == 0 and got[1][1] > 0.8
+    assert got[2][0] == 1 and got[2][1] == 0.0
+    assert got[3][0] == 0 and got[3][2] > 0.9
+
+    con = _duck()
+    con.sql("DROP VIEW documents")
+    import pandas as pd
+    con.register("docs_src2", pd.DataFrame(docs, columns=["doc_id", "text", "lang"]))
+    con.sql("CREATE VIEW documents AS SELECT * FROM docs_src2")
+    want = {r[0]: (r[6], r[4], r[5]) for r in con.sql(q_repetition_filter(DUCK)).fetchall()}
+    assert got == want  # bit-identical doubles + flags

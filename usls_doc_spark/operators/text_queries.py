@@ -468,6 +468,56 @@ SELECT (SELECT count(*) FROM exact) AS n_exact,
 """
 
 
+def q_repetition_filter(d: Dialect) -> str:
+    """Gopher/RefinedWeb-style intra-document repetition signals: the
+    duplicate word-3-gram fraction and the most-frequent-word share, plus
+    the keep flag (dup-trigram fraction <= 0.2 AND top-word share <= 0.3 —
+    the repetition rules LLM curation applies alongside the quality gate;
+    quality_score covers the length/stopword side).
+
+    Scale shape: one scan -> per-doc array math for the trigram side (no
+    shuffle) + one explode->count->max aggregate for the top word (shuffle
+    keyed on doc_id — combiner-friendly). Floats: each output is a single
+    IEEE division (exact integer inputs), so bit-identical in both engines.
+    """
+    w = _words(d)
+    tg = d.shingles("ws", 3)
+    if d.name == "spark":
+        explode = "LATERAL VIEW explode(ws) t AS x"
+    else:
+        explode = ", unnest(ws) AS t(x)"
+    return f"""
+WITH base AS (
+  SELECT doc_id, ws, {tg} AS tg
+  FROM (SELECT doc_id, {w} AS ws FROM documents)
+),
+stats AS (
+  SELECT doc_id,
+         {d.array_len("ws")} AS n_words,
+         {d.array_len("tg")} AS n_trigrams,
+         {d.array_len(d.array_distinct("tg"))} AS n_distinct_trigrams
+  FROM base
+),
+topw AS (
+  SELECT doc_id, max(c) AS top_word_count
+  FROM (SELECT doc_id, x, count(*) AS c
+        FROM (SELECT doc_id, ws FROM base) b {explode}
+        GROUP BY doc_id, x) per_word
+  GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_words AS BIGINT) AS n_words,
+       CAST(s.n_trigrams AS BIGINT) AS n_trigrams,
+       CAST(s.n_distinct_trigrams AS BIGINT) AS n_distinct_trigrams,
+       1.0 - CAST(s.n_distinct_trigrams AS DOUBLE) / s.n_trigrams AS dup_trigram_fraction,
+       CAST(t.top_word_count AS DOUBLE) / s.n_words AS top_word_fraction,
+       CASE WHEN 1.0 - CAST(s.n_distinct_trigrams AS DOUBLE) / s.n_trigrams <= 0.2
+             AND CAST(t.top_word_count AS DOUBLE) / s.n_words <= 0.3
+            THEN 1 ELSE 0 END AS repetition_keep
+FROM stats s JOIN topw t ON s.doc_id = t.doc_id
+"""
+
+
 def q_decontaminate(d: Dialect) -> str:
     """Benchmark decontamination: count 5-word shingle overlaps between
     every corpus document and a held-out benchmark set (docs with
@@ -647,6 +697,7 @@ FROM codes
 TEXT_QUERIES = {
     "lsh_recall": q_lsh_recall,
     "decontaminate_ngram_overlap": q_decontaminate,
+    "repetition_filter": q_repetition_filter,
     "corpus_curation": q_corpus_curation,
     "fingerprint_rolling_hash": q_rolling_hash,
     "dedup_incremental": q_dedup_incremental,
