@@ -305,6 +305,12 @@ def build_registry() -> tuple[dict, dict]:
     queries["streaming_dedup_exact"] = streaming_dedup_exact
     oracles["streaming_dedup_exact"] = TEXT_QUERIES["dedup_exact"](DUCK)
 
+    # streaming extraction: same byte-identical oracle as batch extract_text
+    from .streaming.extract import streaming_extract_text
+
+    queries["streaming_extract_text"] = streaming_extract_text
+    oracles["streaming_extract_text"] = EXTRACT_TEXT_ORACLE
+
     # multimodal: oracle rebuilds the synthesized page bytes in SQL
     queries["multimodal_features"] = multimodal_features
     oracles["multimodal_features"] = MULTIMODAL_ORACLE

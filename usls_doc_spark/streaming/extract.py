@@ -22,6 +22,35 @@ from ..io.synth import PAGES_SCHEMA
 from ..pipeline.extract import extract_batch, EXTRACT_SCHEMA
 
 
+def streaming_extract_text(spark: SparkSession, sf_dir: str):
+    """Registry entry: stage the synthesized pages as TWO parquet files
+    (so the stream takes two micro-batches), run the streaming extraction
+    to completion, and return (url, extracted_text) — the oracle is the
+    SAME byte-identical invariant as the batch extract_text
+    ('Doc {id} ' + text), so the hash certifies the streaming path
+    end-to-end including the exactly-once file sink."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..io.synth import pages_from_documents
+
+    root = tempfile.mkdtemp(prefix="usls_stream_extract_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    pages_dir, out_dir, cp_dir = (f"{root}/{d}" for d in ("pages", "out", "cp"))
+    pages_from_documents(spark, sf_dir).repartition(2).write.parquet(pages_dir)
+    q = start_streaming_extraction(
+        spark, pages_dir, out_dir, cp_dir, max_files_per_trigger=1
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir).select("url", "extracted_text")
+
+
 def start_streaming_extraction(
     spark: SparkSession,
     pages_dir: str,
