@@ -47,10 +47,15 @@ def test_temperature_flattens():
 
 
 def test_deterministic_default_stream():
+    # ONE stream shared across draws (the contract sampled_generate relies
+    # on): successive calls must consume successive uniforms, and two
+    # same-seed streams must replay the identical sequence
     logits = np.array([1.0, 1.0, 1.0, 0.5], dtype=np.float32)
-    a = [sample_topp(logits, p=0.9, uniform=xorshift64s(7)) for _ in range(10)]
-    b = [sample_topp(logits, p=0.9, uniform=xorshift64s(7)) for _ in range(10)]
+    ua, ub = xorshift64s(7), xorshift64s(7)
+    a = [sample_topp(logits, p=0.9, uniform=ua) for _ in range(10)]
+    b = [sample_topp(logits, p=0.9, uniform=ub) for _ in range(10)]
     assert a == b
+    assert len(set(a)) > 1  # the stream advances (ties would hide a stuck rng)
     u = xorshift64s(42)
     vals = [u() for _ in range(1000)]
     assert all(0.0 <= v < 1.0 for v in vals)

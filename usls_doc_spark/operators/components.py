@@ -7,22 +7,26 @@ algorithm is min-id label propagation to convergence:
 
   Spark side — an ITERATIVE DataFrame loop (the same shape
   GraphX/GraphFrames connected-components runs): each round every vertex
-  takes the min of its own label and its neighbors' labels; converges in
-  O(log(diameter)) rounds for near-dup graphs (tiny diameters — duplicate
-  clusters are dense). Each round is one shuffle on doc_id; the per-round
-  driver action is a single count (the convergence test), never row data.
-  A hard iteration cap turns a pathological chain into a loud error
-  instead of an unbounded job.
+  takes the min of its own label and its neighbors' labels (one-hop
+  spread), THEN pointer-jumps through its label's own label (path
+  halving) — the jump is what makes convergence O(log(diameter)) instead
+  of O(diameter), so MAX_ITERS=50 genuinely covers any graph a real
+  corpus can produce (plain neighbor-min alone moves the min id one hop
+  per round and would hard-fail on a 51-link sliding-window chain).
+  Each round is two shuffles on doc_id; the per-round driver action is a
+  single count (the convergence test), never row data. The hard iteration
+  cap turns a pathological input into a loud error, not an unbounded job.
 
   DuckDB oracle — a recursive CTE computing min reachable id per vertex
   (UNION-distinct recursion, so cycles terminate). Transitive closure is
   O(V*E) and fine at oracle scale; the Spark loop is the scale path.
 
-Edges are the verified near-duplicate pairs (LSH candidates at exact
-shingle-Jaccard >= 0.5 — text_queries.build_verified_pairs, the same edge
-semantics corpus_curation verifies). Output: every doc that participates
-in at least one verified pair, its component id (min doc_id reachable),
-and the component size.
+Edges are the LSH candidate pairs verified at exact shingle-Jaccard >=
+0.5 over ALL documents (text_queries.build_verified_pairs — the same
+verify rule corpus_curation applies, but WITHOUT its quality pre-gate, so
+the two operators' edge sets differ on quality-failing docs by design).
+Output: every doc that participates in at least one verified pair, its
+component id (min doc_id reachable), and the component size.
 """
 
 from __future__ import annotations
@@ -33,12 +37,15 @@ from pyspark.sql import functions as F
 from .dialect import DUCK, SPARK
 from .text_queries import build_verified_pairs
 
-MAX_ITERS = 50  # ~log2(diameter) rounds suffice; 50 == diameter 2**50
+MAX_ITERS = 50  # pointer-jumping halves label-chain depth per round:
+#                 O(log2(diameter)) rounds, so 50 covers diameter ~2**50
 
 
 def min_label_components(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFrame:
-    """Min-id label propagation over an undirected edge list (doc_a, doc_b)
-    until a fixed point. Returns (doc_id, component_id)."""
+    """Min-id label propagation + pointer jumping over an undirected edge
+    list (doc_a, doc_b) until a fixed point. Returns (doc_id,
+    component_id). Every label is itself a vertex id (min over ids), so
+    the jump join is total."""
     und = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -50,29 +57,57 @@ def min_label_components(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
         .withColumn("component_id", F.col("doc_id"))
         .cache()
     )
-    for _ in range(max_iters):
-        prop = und.join(labels, und["src"] == labels["doc_id"]).select(
-            F.col("dst").alias("doc_id"), "component_id"
-        )
-        new_labels = (
-            labels.select("doc_id", "component_id")
-            .union(prop)
-            .groupBy("doc_id")
-            .agg(F.min("component_id").alias("component_id"))
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component_id") < F.col("o.component_id"))
-            .count()
-        )
+    try:
+        for _ in range(max_iters):
+            prop = und.join(labels, und["src"] == labels["doc_id"]).select(
+                F.col("dst").alias("doc_id"), "component_id"
+            )
+            hop = (
+                labels.select("doc_id", "component_id")
+                .union(prop)
+                .groupBy("doc_id")
+                .agg(F.min("component_id").alias("component_id"))
+            )
+            # pointer jump (path halving): follow the label's own label —
+            # this, not the one-hop spread, is the O(log) ingredient
+            new_labels = (
+                hop.alias("a")
+                .join(
+                    hop.select(
+                        F.col("doc_id").alias("lbl"),
+                        F.col("component_id").alias("lbl_comp"),
+                    ),
+                    F.col("a.component_id") == F.col("lbl"),
+                    "left",
+                )
+                .select(
+                    F.col("a.doc_id").alias("doc_id"),
+                    F.least(
+                        F.col("a.component_id"),
+                        F.coalesce(F.col("lbl_comp"), F.col("a.component_id")),
+                    ).alias("component_id"),
+                )
+                # lineage MUST be truncated each round: the jump self-join
+                # doubles the logical plan per iteration (2^rounds nodes ->
+                # driver OOM by ~10 rounds); localCheckpoint materializes
+                # AND cuts the plan, which cache() alone does not
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.component_id") < F.col("o.component_id"))
+                .count()
+            )
+            old = labels
+            labels = new_labels
+            old.unpersist()
+            if changed == 0:
+                return labels
         labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            und.unpersist()
-            return labels
-    raise RuntimeError(f"components did not converge in {max_iters} rounds")
+        raise RuntimeError(f"components did not converge in {max_iters} rounds")
+    finally:
+        und.unpersist()
 
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -314,48 +314,19 @@ def q_ngram_jaccard_top(d: Dialect) -> str:
 
     A raw inverted-index shingle self-join is quadratic in per-shingle
     document frequency (avg df ~20 at sf0.1 -> ~10M pair rows); LSH bounds
-    the verify stage to actual near-duplicate candidates. Recall is bounded
-    by the LSH band structure (documented operator semantics; identical in
-    the oracle since both render from this template).
+    the verify stage to actual near-duplicate candidates. The candidate
+    stage is the SHARED _lsh_jaccard_ctes block (also used by lsh_recall,
+    build_verified_pairs, dedup_components), so recall measurements and
+    the component graph provably exercise the same plan.
     """
-    w = _words(d)
-    sh = d.array_distinct(d.shingles("ws", 3))
-    mh_cols = ", ".join(
-        d.array_min(d.array_transform("sh", "s", d.md5(f"'{j}:' || s"))) + f" AS mh{j}"
-        for j in range(4)
-    )
-    mh_array = "array(" + ", ".join(f"mh{j}" for j in range(4)) + ")"
-    if d.name == "spark":
-        bands = (
-            f"SELECT doc_id, band, band_key FROM sigs "
-            f"LATERAL VIEW posexplode({mh_array}) t AS band, band_key"
-        )
-    else:
-        bands = "\nUNION ALL\n".join(
-            f"SELECT doc_id, {j} AS band, mh{j} AS band_key FROM sigs" for j in range(4)
-        )
-    if d.name == "spark":
-        inter = "size(array_intersect(a.sh, b.sh))"
-        nlen = "size({side}.sh)"
-    else:
-        inter = "len(list_intersect(a.sh, b.sh))"
-        nlen = "len({side}.sh)"
+    inter, alen, blen = _jaccard_exprs(d)
     return f"""
-WITH ds AS (
-  SELECT doc_id, {sh} AS sh FROM (SELECT doc_id, {w} AS ws FROM documents)
-),
-sigs AS (SELECT doc_id, {mh_cols} FROM ds),
-{_capped_bands(bands)},
-cands AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
+WITH {_lsh_jaccard_ctes(d)},
 verified AS (
   SELECT c.doc_a, c.doc_b,
          {inter} AS shared,
-         {nlen.format(side='a')} AS na,
-         {nlen.format(side='b')} AS nb
+         {alen} AS na,
+         {blen} AS nb
   FROM cands c
   JOIN ds a ON a.doc_id = c.doc_a
   JOIN ds b ON b.doc_id = c.doc_b

@@ -170,23 +170,35 @@ def detect_raster_spans(doc_id: int, text: str) -> list[dict]:
     return out
 
 
+def recognize_glyph_bucket(crops: list[np.ndarray]) -> list[str]:
+    """One recognizer invocation per width bucket (R2) — the seam where a
+    production SVTR would pad the bucket's same-width-class crops to a
+    common width and issue ONE session.run over the stacked tensor; the
+    pixel-reading stand-in decodes each crop through the real CTC path."""
+    return [
+        ctc_greedy_decode(read_glyph_logits(c), VOCAB, max_length=MAX_DECODE_LEN)
+        for c in crops
+    ]
+
+
 def _spans_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     cols = ["doc_id", "region_id", "span_text", "x", "y", "width", "height", "conf"]
     for pdf in batches:
         pending: list[dict] = []
         for d, t in zip(pdf["doc_id"], pdf["text"]):
             pending.extend(detect_raster_spans(int(d), t))
-        # recognition batched per width bucket across the Arrow batch (R2)
+        # recognition batched per width bucket across the Arrow batch (R2):
+        # one recognize_glyph_bucket call per bucket, results written back
+        # by index so output order stays (doc, region)
         by_bucket: dict[int, list[int]] = {}
         for idx, r in enumerate(pending):
             by_bucket.setdefault(r["bucket"], []).append(idx)
         texts: list[str | None] = [None] * len(pending)
         for bucket in sorted(by_bucket):
-            for i in by_bucket[bucket]:
-                texts[i] = ctc_greedy_decode(
-                    read_glyph_logits(pending[i]["crop"]), VOCAB,
-                    max_length=MAX_DECODE_LEN,
-                )
+            idxs = by_bucket[bucket]
+            decoded = recognize_glyph_bucket([pending[i]["crop"] for i in idxs])
+            for i, t in zip(idxs, decoded):
+                texts[i] = t
         rows = [
             (r["doc_id"], r["region_id"], t, r["x"], r["y"], r["width"],
              r["height"], r["conf"])
