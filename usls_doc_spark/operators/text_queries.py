@@ -489,6 +489,34 @@ FROM stats s JOIN topw t ON s.doc_id = t.doc_id
 """
 
 
+HOST_CAP = 10  # max documents retained per source/host
+
+
+def q_host_cap(d: Dialect) -> str:
+    """Per-host document caps — the crawl-curation rule that stops any one
+    domain from dominating the training mix (CCNet/RefinedWeb keep a
+    bounded sample per host). Deterministic rank by doc_id within source;
+    the output carries the rank, the host's total, and the keep flag so
+    downstream stages filter on host_kept = 1.
+
+    Scale shape: ONE window over a single shuffle keyed on source; skewed
+    hosts cost their own partition only and AQE skew-split handles the
+    pathological ones (the window itself is streaming — no per-host
+    materialization)."""
+    return f"""
+SELECT doc_id, source,
+       CAST(host_rank AS BIGINT) AS host_rank,
+       CAST(host_docs AS BIGINT) AS host_docs,
+       CASE WHEN host_rank <= {HOST_CAP} THEN 1 ELSE 0 END AS host_kept
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS host_rank,
+         count(*) OVER (PARTITION BY source) AS host_docs
+  FROM documents
+) ranked
+"""
+
+
 def q_decontaminate(d: Dialect) -> str:
     """Benchmark decontamination: count 5-word shingle overlaps between
     every corpus document and a held-out benchmark set (docs with
@@ -669,6 +697,7 @@ TEXT_QUERIES = {
     "lsh_recall": q_lsh_recall,
     "decontaminate_ngram_overlap": q_decontaminate,
     "repetition_filter": q_repetition_filter,
+    "host_cap_sample": q_host_cap,
     "corpus_curation": q_corpus_curation,
     "fingerprint_rolling_hash": q_rolling_hash,
     "dedup_incremental": q_dedup_incremental,
