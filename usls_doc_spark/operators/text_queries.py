@@ -489,6 +489,50 @@ FROM stats s JOIN topw t ON s.doc_id = t.doc_id
 """
 
 
+PACK_BUDGET = 2048  # token budget per packed training sequence
+
+
+def q_split_and_pack(d: Dialect) -> str:
+    """Deterministic train/val/test assignment + contiguous sequence
+    packing — the last mile of a training-data pipeline:
+
+      * split: md5(doc_id) buckets 0-99 -> 96/2/2 train/val/test. Hash-
+        based (not doc_id % N) so the split is uncorrelated with crawl
+        order and stable under corpus growth — the property that keeps
+        val/test uncontaminated across snapshots.
+      * packing: docs ordered by doc_id within their split, whitespace
+        token counts prefix-summed, pack_id = floor(exclusive_prefix /
+        BUDGET) — the contiguous-packing rule (a doc crossing a budget
+        boundary finishes its pack and the next doc starts the next one;
+        documented semantics, same in both engines since the prefix sum is
+        over exact integers with a total order).
+
+    Scale shape: one scan -> one window per split partition (shuffle keyed
+    on split; the running sum is streaming, no per-pack state)."""
+    w = _words(d)
+    hash_bucket = f"({d.hash32(d.str_cast('doc_id'))} % 100)"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {d.array_len(w)} AS n_tokens,
+         CASE WHEN {hash_bucket} < 96 THEN 'train'
+              WHEN {hash_bucket} < 98 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, split, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prefix_tokens
+  FROM base
+)
+SELECT doc_id, split, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(prefix_tokens, 0) AS BIGINT) AS prefix_tokens,
+       CAST(COALESCE(prefix_tokens, 0) {"DIV" if d.name == "spark" else "//"} {PACK_BUDGET} AS BIGINT) AS pack_id
+FROM packed
+"""
+
+
 HOST_CAP = 10  # max documents retained per source/host
 
 
@@ -698,6 +742,7 @@ TEXT_QUERIES = {
     "decontaminate_ngram_overlap": q_decontaminate,
     "repetition_filter": q_repetition_filter,
     "host_cap_sample": q_host_cap,
+    "split_and_pack": q_split_and_pack,
     "corpus_curation": q_corpus_curation,
     "fingerprint_rolling_hash": q_rolling_hash,
     "dedup_incremental": q_dedup_incremental,
