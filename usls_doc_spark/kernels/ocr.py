@@ -105,11 +105,16 @@ def _label_components(fg: np.ndarray) -> tuple[np.ndarray, int]:
 
     prev_runs: list[tuple[int, int, int]] = []  # (start, end, label)
     all_runs: list[int] = []  # labels in row-major run order
-    for y in range(h):
+    # iterate NONEMPTY rows only (one vectorized any(axis=1) instead of a
+    # per-row .any() — detect maps/page rasters are mostly background and
+    # the empty-row python iterations dominated the labeling cost)
+    nonempty = np.nonzero(fg.any(axis=1))[0]
+    last_y = -2
+    for y in nonempty:
+        if y != last_y + 1:
+            prev_runs = []  # a background row gap breaks 4-connectivity
+        last_y = y
         row = fg[y]
-        if not row.any():
-            prev_runs = []
-            continue
         d = np.diff(row.astype(np.int8))
         starts = list(np.where(d == 1)[0] + 1)
         ends = list(np.where(d == -1)[0] + 1)
