@@ -324,11 +324,21 @@ def resample(points: np.ndarray, num_samples: int = 50) -> np.ndarray:
 
 def convex_hull(points: np.ndarray) -> np.ndarray:
     """D5b: Andrew monotone chain, CCW order (scalar cross products —
-    np.cross has per-call overhead that dominates on dense contours)."""
-    p = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    np.cross has per-call overhead that dominates on dense contours).
+    Dedup is one lexsort + consecutive-row diff (np.unique(axis=0) sorts
+    AND the old code re-sorted after it — same sorted-unique rows, half
+    the work)."""
+    p = np.asarray(points, dtype=np.float64)
+    if len(p) == 0:
+        return p.reshape(0, 2)
+    p = p[np.lexsort((p[:, 1], p[:, 0]))]
+    if len(p) > 1:
+        keep = np.ones(len(p), dtype=bool)
+        keep[1:] = (p[1:] != p[:-1]).any(axis=1)
+        p = p[keep]
     if len(p) <= 2:
         return p
-    pts = [(float(x), float(y)) for x, y in p[np.lexsort((p[:, 1], p[:, 0]))]]
+    pts = [(float(x), float(y)) for x, y in p]
 
     def half(seq):
         out: list[tuple[float, float]] = []
