@@ -62,6 +62,8 @@ def test_repetition_filter_flags_repetitive_docs(spark):
         (1, "click here to buy now " * 30, "en"),           # dup 3-grams galore
         (2, " ".join(f"unique{i}" for i in range(60)), "en"),
         (3, "spam " * 50 + "end", "en"),                     # top word share ~1
+        (4, "two words", "en"),     # short-doc guard: top share 0.5 but keep
+        (5, "menu menu menu menu", "en"),  # short: degenerate, still keep
     ]
     docs = [(i, t.strip(), lg) for i, t, lg in docs]
     spark.createDataFrame(docs, "doc_id bigint, text string, lang string") \
@@ -71,6 +73,11 @@ def test_repetition_filter_flags_repetitive_docs(spark):
     assert got[1][0] == 0 and got[1][1] > 0.8
     assert got[2][0] == 1 and got[2][1] == 0.0
     assert got[3][0] == 0 and got[3][2] > 0.9
+    # round-3 ADVICE: sub-floor docs keep — repetition signals are
+    # degenerate below REPETITION_MIN_WORDS (length gating is
+    # quality_score's job)
+    assert got[4][0] == 1 and got[4][2] == 0.5
+    assert got[5][0] == 1 and got[5][2] == 1.0
 
     con = _duck()
     con.sql("DROP VIEW documents")

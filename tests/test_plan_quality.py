@@ -152,6 +152,44 @@ def test_decontaminate_no_cartesian_single_pass(spark):
     assert "lang" not in read  # only doc_id + text reach the scan
 
 
+def test_corpus_curation_anti_join_is_not_null_aware(spark):
+    """Round-3 VERDICT item 2: `NOT IN (subquery)` planned as a null-aware
+    anti join (NAAJ) — Spark can ONLY execute NAAJ as a broadcast of the
+    full duplicate set (corpus-scale on a near-dup-heavy crawl). The NOT
+    EXISTS rewrite must plan as an ordinary (shuffleable) LeftAnti: the
+    BroadcastHashJoin NAAJ flag prints as a trailing `true`."""
+    from usls_doc_spark.queries import build_registry
+
+    qs, _ = build_registry()
+    plan = plan_of(qs["corpus_curation"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "LeftAnti, BuildRight, true" not in plan  # isNullAwareAntiJoin
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_split_and_pack_prefix_sum_is_distributed(spark):
+    """Round-3 VERDICT item 3: the packing prefix sum must NOT be a single
+    window per split (3 partitions, 96% in 'train' -> one sequential task
+    at scale). The two-level scan shows as: the per-DOC window partitioned
+    on (split, rng) — parallel — and a per-split window only over the tiny
+    range_tot subtotals."""
+    from usls_doc_spark.queries import build_registry
+
+    qs, _ = build_registry()
+    plan = plan_of(qs["split_and_pack"](spark, SF_DIR))
+    win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win_lines, "no Window operators found"
+    doc_wins = [l for l in win_lines if "doc_id" in l]
+    assert doc_wins, "per-doc window missing"
+    # every window that orders over doc_id must partition on rng too
+    for l in doc_wins:
+        assert "rng" in l.split("windowspecdefinition")[1][:120], l
+    # per-split-only windows may exist ONLY over the range subtotals
+    for l in win_lines:
+        if l not in doc_wins:
+            assert "rng_tokens" in l, f"per-split window over doc rows: {l}"
+
+
 def test_components_edges_plan_is_equi_join(spark):
     from usls_doc_spark.operators.dialect import SPARK as SPARK_D
     from usls_doc_spark.operators.text_queries import build_verified_pairs

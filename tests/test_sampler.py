@@ -60,3 +60,13 @@ def test_deterministic_default_stream():
     vals = [u() for _ in range(1000)]
     assert all(0.0 <= v < 1.0 for v in vals)
     assert len(set(vals)) == 1000
+
+
+def test_default_uniform_is_one_shared_stream():
+    """Round-3 ADVICE: default-argument calls must consume SUCCESSIVE
+    uniforms from one module-level stream, not re-create a fixed-seed
+    stream per call (which made every default call return the same token
+    for a given distribution)."""
+    logits = np.array([1.0, 1.0, 1.0, 0.5], dtype=np.float32)
+    draws = [sample_topp(logits, p=0.9) for _ in range(20)]
+    assert len(set(draws)) > 1  # the shared stream advances between calls

@@ -157,3 +157,22 @@ def test_watermark_drops_late_events(spark, tmp_path_factory):
     # is 2 — the late 03:00 event was watermark-dropped, and the in-watermark
     # 10:30/11:30 events sit in the still-open 06-12 state (not emitted)
     assert rows == {dt.datetime(2024, 1, 1, 0, 0): 2}
+
+
+def test_zero_micro_batch_stream_returns_empty_not_path_error(spark, tmp_path_factory):
+    """Round-3 ADVICE item 2: if the source yields ZERO micro-batches the
+    foreachBatch sink dir is never created — the read-back must return an
+    empty result with the declared schema, not path-not-found."""
+    from usls_doc_spark.streaming.events import streaming_events_window
+    from usls_doc_spark.streaming.sink import read_sink_or_empty
+
+    empty_src = str(tmp_path_factory.mktemp("no_events"))
+    df = streaming_events_window(spark, empty_src)  # no events.parquet inside
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "win_start", "event_type", "n", "total_value"
+    ]
+
+    missing = str(tmp_path_factory.mktemp("gone") / "never_written")
+    df2 = read_sink_or_empty(spark, missing, "a bigint, b string")
+    assert df2.count() == 0 and len(df2.schema.fields) == 2

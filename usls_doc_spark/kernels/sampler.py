@@ -38,6 +38,21 @@ def xorshift64s(seed: int = 0x9E3779B97F4A7C15):
     return nxt
 
 
+# module-level shared default stream (round-3 ADVICE): a fresh fixed-seed
+# stream per call would make every default-argument call consume the SAME
+# first uniform — repeated calls must advance one shared stream instead.
+# Callers that need task-level determinism (sampled_generate) still inject
+# their own per-row-seeded stream.
+_DEFAULT_UNIFORM = None
+
+
+def _default_uniform() -> float:
+    global _DEFAULT_UNIFORM
+    if _DEFAULT_UNIFORM is None:
+        _DEFAULT_UNIFORM = xorshift64s()
+    return _DEFAULT_UNIFORM()
+
+
 def softmax_t(logits: np.ndarray, temperature: float) -> np.ndarray:
     """float32 temperature softmax, max-subtracted (logits_sampler.rs:85-93)."""
     t = np.float32(max(temperature, 1e-7))
@@ -74,7 +89,7 @@ def sample_topp(
         cand_idx.append(int(i))
         cand_w.append(float(acc))
     if uniform is None:
-        uniform = xorshift64s()
+        uniform = _default_uniform
     total = float(sum(cand_w))
     u = uniform() * total
     run = 0.0

@@ -439,6 +439,9 @@ SELECT (SELECT count(*) FROM exact) AS n_exact,
 """
 
 
+REPETITION_MIN_WORDS = 5  # below this, repetition signals are degenerate
+
+
 def q_repetition_filter(d: Dialect) -> str:
     """Gopher/RefinedWeb-style intra-document repetition signals: the
     duplicate word-3-gram fraction and the most-frequent-word share, plus
@@ -450,6 +453,12 @@ def q_repetition_filter(d: Dialect) -> str:
     shuffle) + one explode->count->max aggregate for the top word (shuffle
     keyed on doc_id — combiner-friendly). Floats: each output is a single
     IEEE division (exact integer inputs), so bit-identical in both engines.
+
+    Short-doc guard (round-3 ADVICE): documents under REPETITION_MIN_WORDS
+    words carry no repetition signal (a 2-word doc trivially exceeds the
+    top-word threshold and <3-word docs have one degenerate shingle), so
+    they keep — length-based filtering is quality_score's job, mirroring
+    the length>=3 guard q_quality_ngram_familiarity applies.
     """
     w = _words(d)
     tg = d.shingles("ws", 3)
@@ -482,7 +491,8 @@ SELECT s.doc_id,
        CAST(s.n_distinct_trigrams AS BIGINT) AS n_distinct_trigrams,
        1.0 - CAST(s.n_distinct_trigrams AS DOUBLE) / s.n_trigrams AS dup_trigram_fraction,
        CAST(t.top_word_count AS DOUBLE) / s.n_words AS top_word_fraction,
-       CASE WHEN 1.0 - CAST(s.n_distinct_trigrams AS DOUBLE) / s.n_trigrams <= 0.2
+       CASE WHEN s.n_words < {REPETITION_MIN_WORDS} THEN 1
+            WHEN 1.0 - CAST(s.n_distinct_trigrams AS DOUBLE) / s.n_trigrams <= 0.2
              AND CAST(t.top_word_count AS DOUBLE) / s.n_words <= 0.3
             THEN 1 ELSE 0 END AS repetition_keep
 FROM stats s JOIN topw t ON s.doc_id = t.doc_id
@@ -490,6 +500,10 @@ FROM stats s JOIN topw t ON s.doc_id = t.doc_id
 
 
 PACK_BUDGET = 2048  # token budget per packed training sequence
+PACK_RANGE = 1024  # doc_id range width per prefix-sum partition; size so
+# #ranges = n_docs / PACK_RANGE stays comfortably in one level-2 task
+# (raise it with the corpus, or recurse the same two-level scan over the
+# range subtotals — the standard multi-level distributed scan)
 
 
 def q_split_and_pack(d: Dialect) -> str:
@@ -507,28 +521,52 @@ def q_split_and_pack(d: Dialect) -> str:
         documented semantics, same in both engines since the prefix sum is
         over exact integers with a total order).
 
-    Scale shape: one scan -> one window per split partition (shuffle keyed
-    on split; the running sum is streaming, no per-pack state)."""
+    Scale shape (round-3 VERDICT item 3 rewrite): the global running sum is
+    a DISTRIBUTED two-level scan, not one window per split (the 'train'
+    split holds 96% of the corpus — a single PARTITION BY split window is a
+    single sequential task at 100x). Level 1: per (split, doc_id-range)
+    token subtotals — one hash aggregate, combiner-friendly. Level 2: a
+    prefix sum over the subtotals (rows = #ranges, tiny at any corpus size
+    — 100 TB / PACK_RANGE docs is ~10^8 rows of 3 ints, and that window is
+    over ranges, not docs). The offsets broadcast-join back and each
+    (split, range) partition computes its LOCAL running sum in parallel.
+    The result is the identical exclusive prefix integer per doc, so the
+    packing semantics (and the oracle) are unchanged."""
     w = _words(d)
     hash_bucket = f"({d.hash32(d.str_cast('doc_id'))} % 100)"
+    idiv = "DIV" if d.name == "spark" else "//"
     return f"""
 WITH base AS (
-  SELECT doc_id, {d.array_len(w)} AS n_tokens,
+  SELECT doc_id, doc_id {idiv} {PACK_RANGE} AS rng,
+         {d.array_len(w)} AS n_tokens,
          CASE WHEN {hash_bucket} < 96 THEN 'train'
               WHEN {hash_bucket} < 98 THEN 'val'
               ELSE 'test' END AS split
   FROM documents
 ),
+range_tot AS (
+  SELECT split, rng, sum(n_tokens) AS rng_tokens
+  FROM base GROUP BY split, rng
+),
+range_off AS (
+  SELECT split, rng,
+         sum(rng_tokens) OVER (PARTITION BY split ORDER BY rng
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS rng_offset
+  FROM range_tot
+),
 packed AS (
-  SELECT doc_id, split, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-           AS prefix_tokens
-  FROM base
+  SELECT b.doc_id, b.split, b.n_tokens,
+         COALESCE(o.rng_offset, 0)
+           + COALESCE(sum(b.n_tokens)
+                        OVER (PARTITION BY b.split, b.rng ORDER BY b.doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS prefix_tokens
+  FROM base b JOIN range_off o ON b.split = o.split AND b.rng = o.rng
 )
 SELECT doc_id, split, CAST(n_tokens AS BIGINT) AS n_tokens,
-       CAST(COALESCE(prefix_tokens, 0) AS BIGINT) AS prefix_tokens,
-       CAST(COALESCE(prefix_tokens, 0) {"DIV" if d.name == "spark" else "//"} {PACK_BUDGET} AS BIGINT) AS pack_id
+       CAST(prefix_tokens AS BIGINT) AS prefix_tokens,
+       CAST(prefix_tokens {idiv} {PACK_BUDGET} AS BIGINT) AS pack_id
 FROM packed
 """
 
@@ -616,6 +654,14 @@ def q_corpus_curation(d: Dialect) -> str:
     This is the operators' intended composition (what a 100 TB curation run
     executes); each stage is individually oracled elsewhere, this checks
     the composition end-to-end.
+
+    The duplicate drop is a NOT EXISTS anti-join (round-3 VERDICT item 2):
+    `NOT IN (subquery)` plans as a null-aware anti join, which Spark can
+    ONLY execute by broadcasting the full duplicate set — corpus-scale on a
+    near-dup-heavy crawl. doc_id/drop_id are non-nullable, so null-aware
+    semantics buy nothing; NOT EXISTS plans as a shuffleable LeftAnti
+    (same shape as dedup_incremental). Plan-asserted in
+    tests/test_plan_quality.py.
     """
     w = _words(d)
     sh = d.array_distinct(d.shingles("ws", 3))
@@ -666,7 +712,7 @@ dups AS (
   WHERE CAST({inter} AS DOUBLE) / ({alen} + {blen} - {inter}) >= 0.5
 )
 SELECT doc_id, lang, n_chars FROM ds
-WHERE doc_id NOT IN (SELECT drop_id FROM dups)
+WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.drop_id = ds.doc_id)
 """
 
 

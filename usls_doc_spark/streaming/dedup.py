@@ -100,7 +100,9 @@ def fold_update_log(spark: SparkSession, sink_dir: str) -> DataFrame:
     """Fold the appended per-trigger update rows into the final answer:
     min/max are monotone under the state's fold direction, so any prefix
     of triggers collapses to the latest state per key."""
-    updates = spark.read.schema(OUTPUT_SCHEMA).parquet(sink_dir)
+    from .sink import read_sink_or_empty
+
+    updates = read_sink_or_empty(spark, sink_dir, OUTPUT_SCHEMA)
     return (
         updates.groupBy("dup_key")
         .agg(

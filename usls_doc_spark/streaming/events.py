@@ -26,9 +26,15 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .sink import read_sink_or_empty
+
 EVENTS_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, event_type string, "
     "value double, props string"
+)
+
+WINDOW_OUT_SCHEMA = (
+    "win_start timestamp, event_type string, n bigint, total_value double"
 )
 
 _QUERY_NAME = "usls_stream_events_window"
@@ -81,7 +87,7 @@ def streaming_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(sink_dir)
+    return read_sink_or_empty(spark, sink_dir, WINDOW_OUT_SCHEMA)
 
 
 # identical to EVENTS_TUMBLING_ORACLE (relational.py) — the streaming query

@@ -48,7 +48,11 @@ def streaming_extract_text(spark: SparkSession, sf_dir: str):
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(out_dir).select("url", "extracted_text")
+    from .sink import read_sink_or_empty
+
+    return read_sink_or_empty(spark, out_dir, EXTRACT_SCHEMA).select(
+        "url", "extracted_text"
+    )
 
 
 def start_streaming_extraction(
