@@ -2,7 +2,10 @@
 must produce at most C(BAND_CAP, 2) pairs, identically in both engines —
 the k² blow-up guard for LSH self-joins at scale."""
 
+import os
+
 import duckdb
+import pytest
 import pandas as pd
 
 from usls_doc_spark.operators.dialect import DUCK, SPARK
@@ -46,3 +49,20 @@ def test_spark_matches_duckdb_on_hot_key(spark):
         for r in con.sql(build_minhash_lsh_pairs(DUCK)).fetchall()
     }
     assert got == want
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW") != "1",
+    reason="quadratic ground-truth harness at sf0.1 (~1 min); SPARK_GRAFT_SLOW=1 opts in",
+)
+def test_recall_sf01(spark):
+    """Round-3 VERDICT item 5: the BAND_CAP recall floor, measured at
+    sf0.1 against the exhaustive inverted-index ground truth (measured
+    1.0 on 2026-08-17 — BENCH/BASELINE.md)."""
+    from usls_doc_spark.queries import build_registry
+
+    qs, _ = build_registry()
+    row = qs["lsh_recall"](spark, "/root/testdata/sf0.1").collect()[0]
+    assert row.n_exact > 0
+    assert row.recall >= 0.95

@@ -252,9 +252,11 @@ def _capped_bands(bands: str, cap: int = BAND_CAP) -> str:
     their other, less-degenerate bands).
 
     MEASURED (q_lsh_recall, exhaustive inverted-index ground truth at
-    Jaccard >= 0.5): recall = 1.0 at sf0.001 (28/28 true pairs) and
-    sf0.01 (25/25) — the caps cost nothing on this corpus because no
-    true near-dup cluster exceeds BAND_CAP members.
+    Jaccard >= 0.5): recall = 1.0 at sf0.001 (28/28 true pairs), sf0.01
+    (25/25) AND sf0.1 (256/256, 42167 candidates — round-3 VERDICT item
+    5; BENCH/BASELINE.md) — the caps cost nothing on this corpus because
+    no true near-dup cluster exceeds BAND_CAP members. Floor asserted >=
+    0.95 by the slow-marked tests/test_lsh_band_cap.py::test_recall_sf01.
     """
     return f"""bands_raw AS ({bands}),
 bands AS (
