@@ -73,9 +73,12 @@ def concat(xs: list[np.ndarray], axis: int = 0) -> np.ndarray:
 
 
 def sigmoid(x: np.ndarray) -> np.ndarray:
-    """P9 (ops.rs:45-47)."""
+    """P9 (ops.rs:45-47). Large-magnitude logits saturate exactly to 0/1
+    (f32 exp overflow -> inf is the IEEE-correct limit, not an error —
+    silence the warning; the instance-mask head emits |logit| up to 120)."""
     x = np.asarray(x, dtype=np.float32)
-    return 1.0 / (1.0 + np.exp(-x))
+    with np.errstate(over="ignore"):
+        return 1.0 / (1.0 + np.exp(-x))
 
 
 def l2_norm(x: np.ndarray, axis: int = -1) -> np.ndarray:
