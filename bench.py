@@ -55,6 +55,11 @@ BENCH_QUERIES = [
     "layout_instances",
     "table_cells",
     "multimodal_features",
+    # round-4 web-curation family
+    "url_canonicalize",
+    "paragraph_dedup",
+    "stratified_sample",
+    "inverted_index",
 ]
 
 

@@ -190,6 +190,54 @@ def test_split_and_pack_prefix_sum_is_distributed(spark):
             assert "rng_tokens" in l, f"per-split window over doc rows: {l}"
 
 
+def test_url_canonicalize_one_shuffle_no_join(spark):
+    """URL canonicalization is per-row string work + ONE window shuffle on
+    canonical_url — no join anywhere, and the scan reads only doc_id (the
+    raw URLs are synthesized from it)."""
+    from usls_doc_spark.queries import build_registry
+
+    qs, _ = build_registry()
+    plan = plan_of(qs["url_canonicalize"](spark, SF_DIR))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(canonical_url") == 1
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read and "text" not in read and "lang" not in read
+
+
+def test_paragraph_dedup_no_join_scan_prunes(spark):
+    """Chunk dedup = explode -> chunk-hash window -> doc_id re-assembly:
+    joins never appear (the keep flag rides the exploded row)."""
+    from usls_doc_spark.queries import build_registry
+
+    qs, _ = build_registry()
+    plan = plan_of(qs["paragraph_dedup"](spark, SF_DIR))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read and "text" in read and "lang" not in read
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    """Hash-bucket sampling is a pure map: zero exchanges at any scale."""
+    from usls_doc_spark.queries import build_registry
+
+    qs, _ = build_registry()
+    plan = plan_of(qs["stratified_sample"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read and "source" not in read
+
+
+def test_inverted_index_equi_join_only(spark):
+    from usls_doc_spark.queries import build_registry
+
+    qs, _ = build_registry()
+    plan = plan_of(qs["inverted_index"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # stats-to-heads join keys on term (equi), postings capped pre-agg
+    assert "rk" in plan and "row_number" in plan
+
+
 def test_components_edges_plan_is_equi_join(spark):
     from usls_doc_spark.operators.dialect import SPARK as SPARK_D
     from usls_doc_spark.operators.text_queries import build_verified_pairs

@@ -87,6 +87,47 @@ class Dialect:
     def array_distinct(self, a: str) -> str:
         return f"array_distinct({a})" if self.name == "spark" else f"list_distinct({a})"
 
+    def array_sort(self, a: str) -> str:
+        # ascending natural order in both engines (strings: binary collation)
+        return f"array_sort({a})" if self.name == "spark" else f"list_sort({a})"
+
+    def array_filter(self, a: str, var: str, predicate: str) -> str:
+        """Filter returning the array (array_filter_count returns its size)."""
+        if self.name == "spark":
+            return f"filter({a}, {var} -> ({predicate}))"
+        return f"list_filter({a}, {var} -> ({predicate}))"
+
+    def array_slice(self, a: str, start: int, n: int) -> str:
+        """First n elements from 1-based start (Spark slice is (start, len);
+        DuckDB list_slice is inclusive-end)."""
+        if self.name == "spark":
+            return f"slice({a}, {start}, {n})"
+        return f"list_slice({a}, {start}, {start + n - 1})"
+
+    def seq(self, lo: str, hi: str) -> str:
+        """Inclusive integer range as an array."""
+        if self.name == "spark":
+            return f"sequence({lo}, {hi})"
+        return f"generate_series({lo}, {hi})"
+
+    def ordered_string_agg(
+        self, expr: str, order: str, sep: str = "' '", where: str | None = None
+    ) -> str:
+        """Deterministic ordered string aggregation: join `expr` values in
+        ascending `order`, optionally over a FILTER predicate. Spark's
+        collect_list has no ordering guarantee, so the Spark side sorts
+        (order, value) structs post-collect — bit-identical to DuckDB's
+        ORDER BY aggregate for unique `order` keys (and tie-broken by the
+        value itself otherwise)."""
+        filt = f" FILTER (WHERE {where})" if where else ""
+        if self.name == "spark":
+            return (
+                f"array_join(transform(array_sort("
+                f"collect_list(struct({order} AS o, {expr} AS v)){filt}), "
+                f"s -> s.v), {sep})"
+            )
+        return f"string_agg({expr}, {sep} ORDER BY {order}){filt}"
+
     def array_join(self, a: str, sep: str = "' '") -> str:
         return (
             f"array_join({a}, {sep})"

@@ -785,7 +785,12 @@ FROM codes
 """
 
 
+from .web_curation import WEB_QUERIES  # noqa: E402  (template dict merge)
+
 TEXT_QUERIES = {
+    # web-curation family (operators/web_curation.py) — registered EARLY in
+    # queries.build_registry (never yet driver-checked; see its docstring)
+    **WEB_QUERIES,
     "lsh_recall": q_lsh_recall,
     "decontaminate_ngram_overlap": q_decontaminate,
     "repetition_filter": q_repetition_filter,
