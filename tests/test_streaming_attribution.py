@@ -1,0 +1,72 @@
+"""Stream-stream interval join (view -> purchase attribution) must equal
+the batch interval join, including matched pairs whose two sides arrive in
+DIFFERENT micro-batches (only the join state can produce those), and must
+sink through foreachBatch (executor-side parquet), never driver memory."""
+
+import os
+
+from tests.conftest import SF_DIR
+from tests.oracle_utils import compare, duck_con
+from usls_doc_spark.streaming.attribution import (
+    ATTRIBUTION_ORACLE,
+    streaming_click_attribution,
+)
+
+
+def test_attribution_matches_batch_interval_join(spark):
+    got = streaming_click_attribution(spark, SF_DIR)
+    con = duck_con(SF_DIR)
+    ok, msg = compare(got, con.sql(ATTRIBUTION_ORACLE))
+    assert ok, msg
+
+
+def test_attribution_joins_across_micro_batches(spark, tmp_path_factory):
+    from usls_doc_spark.streaming.attribution import (
+        ATTRIBUTION_OUT_SCHEMA,
+        start_attribution_stream,
+    )
+    from usls_doc_spark.streaming.sink import read_sink_or_empty
+
+    con = duck_con(SF_DIR)
+    # pick a matched pair with a strictly-later purchase and split time
+    # EXACTLY at its purchase_ts: the view lands in file 0, the purchase
+    # in file 1 — the match can only come from buffered join state
+    pair = con.sql(
+        f"SELECT view_id, purchase_id, purchase_ts FROM ({ATTRIBUTION_ORACLE}) "
+        "WHERE lag_ms > 0 ORDER BY lag_ms DESC LIMIT 1"
+    ).fetchall()[0]
+    view_id, purchase_id, t_split = pair
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    base = tmp_path_factory.mktemp("events_stream")
+    stage = tmp_path_factory.mktemp("events_stage")
+    for i, pred in enumerate((f"ts < timestamp'{t_split}'", f"ts >= timestamp'{t_split}'")):
+        events.filter(pred).coalesce(1).write.parquet(str(stage / f"b{i}"))
+        part = next((stage / f"b{i}").glob("part-*.parquet"))
+        dest = base / f"batch{i}.parquet"
+        part.rename(dest)
+        # the file source triggers oldest-modtime first: pin the order
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    sink = str(tmp_path_factory.mktemp("attr_sink") / "pairs")
+    q = start_attribution_stream(
+        spark, str(base), sink, "attr_state_test", max_files=1, glob="*.parquet"
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.lastProgress
+    finally:
+        q.stop()
+
+    desc = (progress or {}).get("sink", {}).get("description", "")
+    assert "ForeachBatch" in desc and "MemorySink" not in desc
+
+    got = read_sink_or_empty(spark, sink, ATTRIBUTION_OUT_SCHEMA)
+    # the boundary-spanning pair is present (cross-batch state match)...
+    spanning = got.filter(
+        f"view_id = {view_id} AND purchase_id = {purchase_id}"
+    ).count()
+    assert spanning == 1
+    # ...and the full drained result equals the batch join
+    ok, msg = compare(got, con.sql(ATTRIBUTION_ORACLE))
+    assert ok, msg
