@@ -238,3 +238,18 @@ def test_cdata_close_is_strict():
         fast = [_block_key(b) for b in parse_blocks(html)]
         slow = [_block_key(b) for b in parse_blocks_stdlib(html)]
         assert fast == slow, html
+
+
+def test_confidence_literals_equal_float32_bands():
+    """classify_block's hoisted double literals must be EXACTLY the
+    float32 band values they replaced (invariant 4: confidences f32)."""
+    import numpy as np
+
+    for lit, f in [
+        (0.550000011920929, 0.55),
+        (0.949999988079071, 0.95),
+        (0.8999999761581421, 0.90),
+        (0.8500000238418579, 0.85),
+        (0.800000011920929, 0.80),
+    ]:
+        assert lit == float(np.float32(f))

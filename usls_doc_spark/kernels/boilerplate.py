@@ -131,14 +131,21 @@ class _BlockParser(HTMLParser):
             self._skip_depth = max(0, self._skip_depth - 1)
             return
         # close the NEAREST open element with this name (standard HTML
-        # recovery): pop it plus everything opened after it
-        for i in range(len(self._elem_stack) - 1, -1, -1):
-            if self._elem_stack[i][0] == tag:
-                for _t, bp in self._elem_stack[i:]:
-                    if bp:
-                        self._bp_depth -= 1
-                del self._elem_stack[i:]
-                break
+        # recovery): pop it plus everything opened after it. Fast path:
+        # the matching element is the stack top (well-nested markup).
+        st = self._elem_stack
+        if st and st[-1][0] == tag:
+            if st[-1][1]:
+                self._bp_depth -= 1
+            st.pop()
+        else:
+            for i in range(len(st) - 1, -1, -1):
+                if st[i][0] == tag:
+                    for _t, bp in st[i:]:
+                        if bp:
+                            self._bp_depth -= 1
+                    del st[i:]
+                    break
         if tag == "a":
             self._anchor_depth = max(0, self._anchor_depth - 1)
             return
@@ -261,14 +268,14 @@ def _fast_feed(p: _BlockParser, html: str) -> None:
                 _emit_data(p, html[lt:])
                 return
             raise _FallbackToStdlib  # tag outside the well-formed subset
-        name = m.group("name").lower()
+        end_g, name, attrs_s, slash = m.group("end", "name", "attrs", "slash")
+        name = name.lower()
         i = m.end()
-        if m.group("end"):
-            if m.group("attrs").strip() or m.group("slash"):
+        if end_g:
+            if attrs_s.strip() or slash:
                 raise _FallbackToStdlib  # junk inside an end tag
             p.handle_endtag(name)
             continue
-        attrs_s = m.group("attrs")
         attrs: list[tuple[str, str]] = []
         if attrs_s and "class" in attrs_s.lower():
             cm = _CLASS_RE.search(attrs_s)
@@ -276,7 +283,7 @@ def _fast_feed(p: _BlockParser, html: str) -> None:
                 val = cm.group(2) or cm.group(3) or cm.group(4) or ""
                 attrs = [("class", unescape(val) if "&" in val else val)]
         p.handle_starttag(name, attrs)
-        if m.group("slash"):
+        if slash:
             p.handle_endtag(name)
         elif name in CDATA_CONTENT_TAGS:
             # CDATA mode: raw content until the strict matching close tag
@@ -318,6 +325,19 @@ def parse_blocks_stdlib(html: str) -> list[Block]:
     return p.blocks
 
 
+# hoisted float32 band constants (identical values; np scalar construction
+# per call was a measurable share of the extraction hot path). The literal
+# doubles above are asserted equal to their float32 expressions in
+# tests/test_boilerplate_parser.py.
+_F008 = np.float32(0.08)
+_F009 = np.float32(0.09)
+_F030 = np.float32(0.30)
+_F035 = np.float32(0.35)
+_F041 = np.float32(0.41)
+_F060 = np.float32(0.60)
+_F280 = np.float32(280)
+
+
 def classify_block(blk: Block) -> tuple[str, float]:
     """Map a DOM block to a DocStructBench class + deterministic confidence.
 
@@ -335,22 +355,22 @@ def classify_block(blk: Block) -> tuple[str, float]:
     ld = np.float32(min(blk.link_density, 1.0))
     if blk.boilerplate_ancestor:
         if blk.n_chars > 2000:
-            return "abandon", float(np.float32(0.55))
-        return "abandon", float(np.float32(0.41) + np.float32(0.08) * ld)
+            return "abandon", 0.550000011920929  # float(np.float32(0.55))
+        return "abandon", float(_F041 + _F008 * ld)
     if ld > LINK_DENSITY_ABANDON:
-        return "abandon", float(np.float32(0.30) + np.float32(0.09) * ld)
+        return "abandon", float(_F030 + _F009 * ld)
     if blk.tag == "h1":
-        return "title", float(np.float32(0.95))
+        return "title", 0.949999988079071  # float(np.float32(0.95))
     if blk.tag in ("h2", "h3", "h4", "h5", "h6"):
-        return "title", float(np.float32(0.90))
+        return "title", 0.8999999761581421  # float(np.float32(0.90))
     if blk.tag == "table":
-        return "table", float(np.float32(0.85))
+        return "table", 0.8500000238418579  # float(np.float32(0.85))
     if blk.tag == "caption":
-        return "table_caption", float(np.float32(0.80))
+        return "table_caption", 0.800000011920929  # float(np.float32(0.80))
     if blk.tag == "figcaption":
-        return "figure_caption", float(np.float32(0.80))
-    size = np.float32(min(blk.n_chars, 280)) / np.float32(280)
-    return "plain text", float(np.float32(0.60) + np.float32(0.35) * size)
+        return "figure_caption", 0.800000011920929
+    size = np.float32(min(blk.n_chars, 280)) / _F280
+    return "plain text", float(_F060 + _F035 * size)
 
 
 # classes whose text participates in the extracted main content, in the

@@ -38,17 +38,41 @@ def nms_indices(boxes: np.ndarray, confs: np.ndarray, iou_threshold: float) -> n
     # twin was dropped) — so it can never be kept and never affects other
     # decisions. Duplicate anchors are the common case (the stub emits 2
     # identical anchors per block).
+    bo = np.ascontiguousarray(boxes[order])
     if iou_threshold < 1.0:
-        _, first_idx = np.unique(boxes[order], axis=0, return_index=True)
-        order = order[np.sort(first_idx)]
-        n = len(order)
+        # first-occurrence row dedup via a byte-key set: identical result
+        # to np.unique(axis=0, return_index) + re-sort, at a fraction of
+        # its lexsort/view machinery cost (n is tens of boxes per page and
+        # this runs once per document in the extraction hot path)
+        rows = bo.view(np.uint8).reshape(n, -1)
+        seen: set[bytes] = set()
+        keep_j = [
+            j
+            for j in range(n)
+            if (k := rows[j].tobytes()) not in seen and not seen.add(k)
+        ]
+        if len(keep_j) != n:
+            order = order[np.asarray(keep_j, dtype=np.int64)]
+            bo = np.ascontiguousarray(boxes[order])
+            n = len(order)
 
     if n <= 512:
         # small-n fast path: one n x n IoU matrix (the dominant cost at
-        # typical page box counts is per-call numpy overhead, not FLOPs)
-        from .geometry import iou as iou_matrix
-
-        ious = iou_matrix(boxes[order], boxes[order])
+        # typical page box counts is per-call numpy overhead, not FLOPs).
+        # Inline geometry.iou's exact float32 op sequence (bit-identical
+        # comparisons) without its per-call asarray/function overhead.
+        x1 = bo[:, 0]
+        y1 = bo[:, 1]
+        x2 = bo[:, 0] + bo[:, 2]
+        y2 = bo[:, 1] + bo[:, 3]
+        l = np.maximum(x1[:, None], x1[None, :])
+        r = np.minimum(x2[:, None], x2[None, :])
+        t = np.maximum(y1[:, None], y1[None, :])
+        btm = np.minimum(y2[:, None], y2[None, :])
+        inter = np.maximum(r - l, 0.0) * np.maximum(btm - t, 0.0)
+        ar = bo[:, 2] * bo[:, 3]
+        uni = ar[:, None] + ar[None, :] - inter
+        ious = (inter / np.maximum(uni, np.float32(1e-12))).astype(np.float32)
         suppress = ious > np.float32(iou_threshold)
         np.fill_diagonal(suppress, False)
         if not suppress.any():

@@ -120,13 +120,21 @@ class StubLayoutModel:
             cx = canvas_boxes[:, 0] + canvas_boxes[:, 2] / np.float32(2.0)
             cy = canvas_boxes[:, 1] + canvas_boxes[:, 3] / np.float32(2.0)
             name_to_id = {nm: k for k, nm in enumerate(self.names)}
-            for i in range(n):
-                cid = name_to_id[classes[i]]
-                row = np.zeros(4 + n_cls, dtype=np.float32)
-                row[0:4] = (cx[i], cy[i], canvas_boxes[i, 2], canvas_boxes[i, 3])
-                row[4 + cid] = np.float32(confs[i])
-                preds[2 * i] = row
-                dup = row.copy()  # identical box (IoU 1.0) -> NMS must drop it
-                dup[4 + cid] = np.float32(confs[i]) * np.float32(0.9)
-                preds[2 * i + 1] = dup
+            # vectorized row build (identical values to the per-block loop:
+            # same float32 casts, same 0.9x dup-anchor conf)
+            cid = np.fromiter(
+                (name_to_id[c] for c in classes), dtype=np.int64, count=n
+            )
+            conf_arr = np.asarray(confs, dtype=np.float32)
+            rows = np.zeros((n, 4 + n_cls), dtype=np.float32)
+            rows[:, 0] = cx
+            rows[:, 1] = cy
+            rows[:, 2] = canvas_boxes[:, 2]
+            rows[:, 3] = canvas_boxes[:, 3]
+            ar = np.arange(n)
+            rows[ar, 4 + cid] = conf_arr
+            preds[0::2] = rows
+            # identical box (IoU 1.0) -> NMS must drop the dup anchor
+            rows[ar, 4 + cid] = conf_arr * np.float32(0.9)
+            preds[1::2] = rows
         return preds, spec, classes
