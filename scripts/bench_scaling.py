@@ -210,6 +210,14 @@ tracks the machine's ceiling, not a Spark bottleneck).
   multiprocessing.Pool at each level, pinned to the same core set — no
   Spark, no allocation pressure — measuring what the HARDWARE yields per
   added core.
+- Work size per level (copies={COPIES}) is set so the measured job is long
+  enough that per-JOB constant overhead (file listing, planning, DAG
+  submit — ~3-4 s serial) stays small relative to the parallel work; this
+  matches the 100 TB regime, where work-to-overhead is orders of magnitude
+  larger than ANY local setting. Round 4's kernel speedups (~1.3x
+  single-core) shortened the copies=10 job enough that this constant alone
+  cost ~4 efficiency points at N=2->8, so the input doubled to copies=20
+  to keep the measured regime comparable across rounds.
 - Single-JVM local mode; no multi-executor cluster exists in this sandbox,
   so N->4N executors is evidenced as N->4N local cores on identical input
   and identical code (per round instructions).
