@@ -115,9 +115,13 @@ def _label_components(fg: np.ndarray) -> tuple[np.ndarray, int]:
             prev_runs = []  # a background row gap breaks 4-connectivity
         last_y = y
         row = fg[y]
-        d = np.diff(row.astype(np.int8))
-        starts = list(np.where(d == 1)[0] + 1)
-        ends = list(np.where(d == -1)[0] + 1)
+        # transition positions (identical to diff(int8)==+/-1): a change at
+        # index t means row flips at t; flips INTO fg start a run, flips
+        # OUT end one — single comparison + two masked selects
+        t = np.flatnonzero(row[1:] != row[:-1]) + 1
+        on = row[t]
+        starts = t[on].tolist()
+        ends = t[~on].tolist()
         if row[0]:
             starts.insert(0, 0)
         if row[-1]:
@@ -220,6 +224,23 @@ def find_outer_contours(mask: np.ndarray) -> list[np.ndarray]:
     return contours
 
 
+def _shift_fwd(a: np.ndarray) -> np.ndarray:
+    """np.roll(a, 1, axis=0) without roll's axis-normalization overhead
+    (identical values; these run per detected region in the OCR hot path)."""
+    out = np.empty_like(a)
+    out[0] = a[-1]
+    out[1:] = a[:-1]
+    return out
+
+
+def _shift_back(a: np.ndarray) -> np.ndarray:
+    """np.roll(a, -1, axis=0) — see _shift_fwd."""
+    out = np.empty_like(a)
+    out[-1] = a[0]
+    out[:-1] = a[1:]
+    return out
+
+
 def _simplify_runs(points: np.ndarray) -> np.ndarray:
     """Drop interior points of straight AXIS-ALIGNED boundary runs before
     unclip+hull — output-identical by construction, proven by fuzz:
@@ -241,11 +262,11 @@ def _simplify_runs(points: np.ndarray) -> np.ndarray:
     n = len(p)
     if n <= 8:
         return p
-    d = p - np.roll(p, 1, axis=0)  # incoming step per vertex
-    dn = np.roll(d, -1, axis=0)  # outgoing step
+    d = p - _shift_fwd(p)  # incoming step per vertex
+    dn = _shift_back(d)  # outgoing step
     change = (d != dn).any(axis=1)
     axis_run = (d[:, 0] == 0) | (d[:, 1] == 0)
-    keep = change | np.roll(change, 1) | np.roll(change, -1) | ~axis_run
+    keep = change | _shift_fwd(change) | _shift_back(change) | ~axis_run
     return p[keep]
 
 
@@ -255,7 +276,7 @@ def polygon_area(points: np.ndarray) -> float:
     if len(p) < 3:
         return 0.0
     x, y = p[:, 0], p[:, 1]
-    return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0)
+    return float(abs(np.dot(x, _shift_back(y)) - np.dot(y, _shift_back(x))) / 2.0)
 
 
 def polygon_area_ordered(points: np.ndarray) -> float:
@@ -281,7 +302,7 @@ def polygon_perimeter(points: np.ndarray) -> float:
     p = np.asarray(points, dtype=np.float64)
     if len(p) < 2:
         return 0.0
-    d = np.diff(np.vstack([p, p[:1]]), axis=0)
+    d = _shift_back(p) - p  # == np.diff of the closed ring
     return float(np.sqrt((d**2).sum(axis=1)).sum())
 
 
@@ -293,8 +314,8 @@ def unclip(points: np.ndarray, delta: float, width: float, height: float) -> np.
     n = len(p)
     if n == 0:
         return p
-    prev_pts = np.roll(p, 1, axis=0)
-    next_pts = np.roll(p, -1, axis=0)
+    prev_pts = _shift_fwd(p)
+    next_pts = _shift_back(p)
     edge = next_pts - prev_pts
     normal = np.stack([-edge[:, 1], edge[:, 0]], axis=1)
     length = np.sqrt((normal**2).sum(axis=1))
@@ -316,7 +337,7 @@ def resample(points: np.ndarray, num_samples: int = 50) -> np.ndarray:
     if n == 0:
         return p
     starts = p
-    ends = np.roll(p, -1, axis=0)
+    ends = _shift_back(p)
     t = (np.arange(num_samples, dtype=np.float64) / num_samples)[None, :, None]  # [1,S,1]
     seg = starts[:, None, :] + t * (ends - starts)[:, None, :]  # [n,S,2]
     return seg.reshape(-1, 2)
