@@ -33,12 +33,20 @@ def from_cxcywhd(cx: float, cy: float, w: float, h: float, d: float) -> np.ndarr
     return from_cxcywhr(cx, cy, w, h, math.radians(d))
 
 
+def _shift_back(a: np.ndarray) -> np.ndarray:
+    """np.roll(a, -1) without its axis-normalization overhead."""
+    out = np.empty_like(a)
+    out[-1] = a[0]
+    out[:-1] = a[1:]
+    return out
+
+
 def shoelace_area(poly: np.ndarray) -> float:
     p = np.asarray(poly, dtype=np.float64)
     if len(p) < 3:
         return 0.0
     x, y = p[:, 0], p[:, 1]
-    return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0)
+    return float(abs(np.dot(x, _shift_back(y)) - np.dot(y, _shift_back(x))) / 2.0)
 
 
 def _clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
@@ -46,7 +54,7 @@ def _clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     clip = np.asarray(clip, dtype=np.float64)
     # ensure counter-clockwise clip polygon (positive signed area)
     x, y = clip[:, 0], clip[:, 1]
-    if (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) < 0:
+    if (np.dot(x, _shift_back(y)) - np.dot(y, _shift_back(x))) < 0:
         clip = clip[::-1]
     output = [tuple(p) for p in np.asarray(subject, dtype=np.float64)]
     for i in range(len(clip)):
