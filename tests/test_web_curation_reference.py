@@ -1,0 +1,154 @@
+"""INDEPENDENT reference oracles for the web-curation family.
+
+The driver gate proves Spark == DuckDB on the shared two-dialect template;
+these tests prove the template's SEMANTICS against implementations that
+share no code with it — urllib.parse-based URL canonicalization, a dict
+first-occurrence pass for paragraph dedup, hashlib for the sampling
+bucket, collections.Counter for the inverted index — the same differential
+discipline as the boilerplate parser's stdlib oracle."""
+
+import hashlib
+import math
+from collections import Counter
+from urllib.parse import urlsplit
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_DIR
+from usls_doc_spark.operators.web_curation import (
+    PARA_WORDS,
+    POSTINGS_CAP,
+    STRATA_DEFAULT,
+    STRATA_RATES,
+)
+from usls_doc_spark.queries import build_registry
+
+
+@pytest.fixture(scope="module")
+def docs_rows():
+    return duckdb.sql(
+        f"SELECT doc_id, text, lang FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    q, _ = build_registry()
+    return q
+
+
+def _raw_url(doc_id: int) -> str:
+    """Re-state the synthesis spec (web_curation.q_url_canonicalize raw CTE)."""
+    page_id = doc_id // 10
+    site = f"site{page_id % 20}"
+    scheme = "HTTPS" if doc_id % 2 == 0 else "https"
+    host = [
+        f"WWW.{site.upper()}.Example.COM",
+        f"{site}.example.com:443",
+        f"{site.upper()}.EXAMPLE.com",
+    ][doc_id % 3]
+    path = f"/Doc/{page_id}/" if doc_id % 5 == 0 else f"/Doc/{page_id}"
+    utm = "utm_source=feed" if doc_id % 4 < 3 else ""
+    ref = "ref=mail" if doc_id % 7 == 0 else ""
+    iid = f"id={page_id}"
+    items = [utm, iid, ref, "v=1"] if doc_id % 2 == 0 else ["v=1", utm, iid, ref]
+    qs = "&".join(p for p in items if p)
+    frag = f"#sec{doc_id % 7}" if doc_id % 6 == 0 else ""
+    return f"{scheme}://{host}{path}" + (f"?{qs}" if qs else "") + frag
+
+
+def _canonicalize(raw: str) -> tuple[str, str, str]:
+    """Independent canonicalizer over urllib.parse."""
+    sp = urlsplit(raw)
+    host = sp.netloc.lower().split(":")[0]
+    if host.startswith("www."):
+        host = host[4:]
+    reg_domain = ".".join(host.split(".")[-2:])
+    path = sp.path.lower()
+    if path.endswith("/") and len(path) > 1:
+        path = path[:-1]
+    kept = sorted(
+        p
+        for p in sp.query.split("&")
+        if p and not p.startswith("utm_") and not p.startswith("ref=")
+    )
+    q = ("?" + "&".join(kept)) if kept else ""
+    return f"{sp.scheme.lower()}://{host}{path}{q}", host, reg_domain
+
+
+def test_url_canonicalize_vs_urllib(spark, registry, docs_rows):
+    got = {
+        r["doc_id"]: r
+        for r in registry["url_canonicalize"](spark, SF_DIR).collect()
+    }
+    expected = {}
+    groups: dict[str, list[int]] = {}
+    for doc_id, _t, _l in docs_rows:
+        raw = _raw_url(doc_id)
+        canon, host, reg = _canonicalize(raw)
+        expected[doc_id] = (raw, canon, host, reg)
+        groups.setdefault(canon, []).append(doc_id)
+    assert got.keys() == expected.keys()
+    for doc_id, (raw, canon, host, reg) in expected.items():
+        r = got[doc_id]
+        assert r["raw_url"] == raw, doc_id
+        assert r["canonical_url"] == canon, doc_id
+        assert r["host"] == host and r["registered_domain"] == reg, doc_id
+        members = sorted(groups[canon])
+        assert r["dup_count"] == len(members)
+        assert r["dup_rank"] == members.index(doc_id) + 1
+        assert r["url_kept"] == (1 if members[0] == doc_id else 0)
+
+
+def test_paragraph_dedup_vs_dict_pass(spark, registry, docs_rows):
+    got = {
+        r["doc_id"]: r for r in registry["paragraph_dedup"](spark, SF_DIR).collect()
+    }
+    seen: set[str] = set()
+    for doc_id, text, _l in docs_rows:  # ordered by doc_id = global order
+        ws = text.split(" ")
+        n_ch = max(math.ceil(len(ws) / PARA_WORDS), 1)
+        chunks = [
+            " ".join(ws[i * PARA_WORDS : (i + 1) * PARA_WORDS]) for i in range(n_ch)
+        ]
+        kept = []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        r = got[doc_id]
+        assert r["n_chunks"] == n_ch
+        assert r["n_kept"] == len(kept), doc_id
+        assert r["dedup_text"] == " ".join(kept), doc_id
+        assert r["kept_fraction"] == len(kept) / n_ch
+
+
+def test_stratified_sample_vs_hashlib(spark, registry, docs_rows):
+    got = {
+        r["doc_id"]: r for r in registry["stratified_sample"](spark, SF_DIR).collect()
+    }
+    for doc_id, _t, lang in docs_rows:
+        bucket = int(hashlib.md5(f"{doc_id}:strat".encode()).hexdigest()[:8], 16) % 100
+        rate = STRATA_RATES.get(lang, STRATA_DEFAULT)
+        r = got[doc_id]
+        assert r["bucket"] == bucket and r["rate_pct"] == rate
+        assert r["sampled"] == (1 if bucket < rate else 0)
+
+
+def test_inverted_index_vs_counter(spark, registry, docs_rows):
+    got = {r["term"]: r for r in registry["inverted_index"](spark, SF_DIR).collect()}
+    tf: Counter = Counter()
+    postings: dict[str, set] = {}
+    for doc_id, text, _l in docs_rows:
+        words = text.split(" ")
+        tf.update(words)
+        for w in set(words):
+            postings.setdefault(w, set()).add(doc_id)
+    assert got.keys() == set(tf)
+    total = len(docs_rows)
+    for term, r in got.items():
+        ids = sorted(postings[term])
+        assert r["tf"] == tf[term] and r["df"] == len(ids)
+        assert r["df_frac"] == len(ids) / total
+        assert r["postings_head"] == ",".join(str(i) for i in ids[:POSTINGS_CAP])
