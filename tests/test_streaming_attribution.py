@@ -61,6 +61,14 @@ def test_attribution_joins_across_micro_batches(spark, tmp_path_factory):
     desc = (progress or {}).get("sink", {}).get("description", "")
     assert "ForeachBatch" in desc and "MemorySink" not in desc
 
+    # bounded-state proof: batch 0 spans weeks of events, so once batch 1
+    # advances the watermark, join state older than (watermark - 2 h) must
+    # actually be REMOVED — the property that lets this stream run forever
+    ops = (progress or {}).get("stateOperators", [])
+    assert ops, "no stateOperators metrics on the join"
+    removed = sum(int(o.get("numRowsRemoved", 0)) for o in ops)
+    assert removed > 0, f"watermark advanced but no state evicted: {ops}"
+
     got = read_sink_or_empty(spark, sink, ATTRIBUTION_OUT_SCHEMA)
     # the boundary-spanning pair is present (cross-batch state match)...
     spanning = got.filter(
