@@ -253,3 +253,24 @@ def test_confidence_literals_equal_float32_bands():
         (0.800000011920929, 0.80),
     ]:
         assert lit == float(np.float32(f))
+
+
+def test_nonascii_whitespace_and_lt_in_tags_fall_back():
+    """Python's Unicode \\s treats \\x1c-\\x1f/\\x85/\\xa0 as whitespace and
+    the old attr token class accepted '<' — both let the fast tokenizer
+    parse garbage stdlib recovers from differently (hypothesis-found:
+    '<p\\x1f<p>text '). The ASCII-strict grammar must reject these (falling
+    back to stdlib), keeping fast == slow."""
+    from usls_doc_spark.kernels.boilerplate import parse_blocks, parse_blocks_stdlib
+
+    for html in (
+        "<p\x1f<p>text ",
+        "<p\x1c<p>text</p>",
+        "<div\xa0class=ad>x</div><p>y</p>",
+        "<div\x85id=z>x</div><p>y</p>",
+        "<p a=<b>t</p>",
+        "<p <span>>t</p>",
+    ):
+        fast = [_block_key(b) for b in parse_blocks(html)]
+        slow = [_block_key(b) for b in parse_blocks_stdlib(html)]
+        assert fast == slow, html

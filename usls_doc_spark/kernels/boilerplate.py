@@ -54,6 +54,24 @@ VOID_TAGS = frozenset(
 
 LINK_DENSITY_ABANDON = np.float32(0.5)
 
+# one dict lookup instead of ~6 set-membership tests per tag event (the
+# handlers run ~100x per page inside the extraction hot path); bit values
+# are private to this module
+_F_SKIP, _F_BP, _F_VOID, _F_ANCHOR, _F_MERGE, _F_BLOCK, _F_CELLSEP = (
+    1, 2, 4, 8, 16, 32, 64,
+)
+_TAG_FLAGS: dict[str, int] = {}
+for _t, _f in (
+    *((t, _F_SKIP) for t in SKIP_CONTENT_TAGS),
+    *((t, _F_BP) for t in BOILERPLATE_ANCESTOR_TAGS),
+    *((t, _F_VOID) for t in VOID_TAGS),
+    ("a", _F_ANCHOR),
+    *((t, _F_MERGE) for t in MERGE_CONTAINER_TAGS),
+    *((t, _F_BLOCK) for t in BLOCK_TAGS),
+    *((t, _F_CELLSEP) for t in ("td", "th", "tr", "caption", "li", "p")),
+):
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _f
+
 
 @dataclass
 class Block:
@@ -101,33 +119,35 @@ class _BlockParser(HTMLParser):
             self.blocks.append(blk)
 
     def handle_starttag(self, tag, attrs):
-        if tag in SKIP_CONTENT_TAGS:
+        f = _TAG_FLAGS.get(tag, 0)
+        if f & _F_SKIP:
             self._skip_depth += 1
             return
         if attrs:
             classes = set((dict(attrs).get("class") or "").lower().split())
-            is_bp = tag in BOILERPLATE_ANCESTOR_TAGS or bool(
-                classes & BOILERPLATE_CLASS_HINTS
-            )
+            is_bp = bool(f & _F_BP) or bool(classes & BOILERPLATE_CLASS_HINTS)
         else:  # the common case: no attributes -> no class hints to check
-            is_bp = tag in BOILERPLATE_ANCESTOR_TAGS
-        if tag not in VOID_TAGS:
+            is_bp = bool(f & _F_BP)
+        if not f & _F_VOID:
             self._elem_stack.append((tag, is_bp))
             if is_bp:
                 self._bp_depth += 1
-        if tag == "a":
+        if not f & (_F_ANCHOR | _F_MERGE | _F_BLOCK):
+            return  # plain container (div/span/...), the common case
+        if f & _F_ANCHOR:
             self._anchor_depth += 1
             return
-        if tag in MERGE_CONTAINER_TAGS:
+        if f & _F_MERGE:
             self._merge_depth += 1
             if self._merge_depth == 1:
                 self._start_block(tag)
             return
-        if tag in BLOCK_TAGS and self._merge_depth == 0:
+        if self._merge_depth == 0:  # block tag
             self._start_block(tag)
 
     def handle_endtag(self, tag):
-        if tag in SKIP_CONTENT_TAGS:
+        f = _TAG_FLAGS.get(tag, 0)
+        if f & _F_SKIP:
             self._skip_depth = max(0, self._skip_depth - 1)
             return
         # close the NEAREST open element with this name (standard HTML
@@ -146,18 +166,20 @@ class _BlockParser(HTMLParser):
                             self._bp_depth -= 1
                     del st[i:]
                     break
-        if tag == "a":
+        if not f & (_F_ANCHOR | _F_MERGE | _F_CELLSEP | _F_BLOCK):
+            return  # plain container, the common case
+        if f & _F_ANCHOR:
             self._anchor_depth = max(0, self._anchor_depth - 1)
             return
-        if tag in MERGE_CONTAINER_TAGS:
+        if f & _F_MERGE:
             if self._merge_depth == 1 and self._open:
                 self._end_block()
             self._merge_depth = max(0, self._merge_depth - 1)
-        elif self._merge_depth > 0 and tag in ("td", "th", "tr", "caption", "li", "p"):
+        elif self._merge_depth > 0 and f & _F_CELLSEP:
             # cell/row boundaries become whitespace inside a merged block
             if self._open:
                 self._open[-1]._parts.append(" ")
-        elif tag in BLOCK_TAGS and self._merge_depth == 0:
+        elif f & _F_BLOCK and self._merge_depth == 0:
             if self._open and self._open[-1].tag == tag:
                 self._end_block()
 
@@ -185,10 +207,17 @@ class _BlockParser(HTMLParser):
 # html.parser — its tolerant-recovery grammar has too many quirks to
 # replicate safely, and real pages that trip it are rare, so correctness is
 # guaranteed by construction and speed preserved for the common case.
+# re.ASCII: python's Unicode \s accepts \x1c-\x1f/\x85/\xa0 as whitespace,
+# which stdlib's tolerant tag grammar recovers from differently — those
+# pages must FALL BACK, not parse here. '<' is likewise excluded from attr
+# tokens ('<p\x1f<p>' must not read as one tag with a '<p' attribute).
+# Shrinking the accepted subset is always safe: rejected pages reparse
+# through stdlib (the oracle), they are never mis-tokenized.
 _TAG_RE = re.compile(
     r"<(?P<end>/)?(?P<name>[a-zA-Z][a-zA-Z0-9:._-]*)"
-    r"(?P<attrs>(?:\s+[^\s/>='\"`]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>'\"`=]*))?)*)"
-    r"\s*(?P<slash>/?)>"
+    r"(?P<attrs>(?:\s+[^\s/>='\"`<]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>'\"`=<]*))?)*)"
+    r"\s*(?P<slash>/?)>",
+    re.ASCII,
 )
 
 
