@@ -48,3 +48,17 @@ def test_export_shards_byte_deterministic(spark, tmp_path_factory):
             assert row["pack_id"] // 4 == shard_no
             ids.append(row["doc_id"])
         assert ids == sorted(ids)
+
+
+def test_export_rerun_same_dir_is_idempotent(spark, tmp_path_factory):
+    """Re-exporting over the same directory (the failed-job retry story)
+    must leave byte-identical shards, not duplicates."""
+    _register_views(spark, SF_DIR)
+    packed = spark.sql(render_spark("split_and_pack"))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path_factory.mktemp("shards_rerun"))
+    export_jsonl_shards(packed, docs, out)
+    first = _shard_bytes(out)
+    export_jsonl_shards(packed, docs, out)  # retry over the same dir
+    second = _shard_bytes(out)
+    assert first == second
