@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "stratified_sample",
     "inverted_index",
+    "tfidf_top_terms",
 ]
 
 

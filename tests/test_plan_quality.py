@@ -238,6 +238,18 @@ def test_inverted_index_equi_join_only(spark):
     assert "rk" in plan and "row_number" in plan
 
 
+def test_tfidf_top_terms_equi_join_and_per_doc_window(spark):
+    from usls_doc_spark.queries import build_registry
+
+    qs, _ = build_registry()
+    plan = plan_of(qs["tfidf_top_terms"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the top-k window partitions per doc, never a global sort of all terms
+    win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win and all("doc_id" in l for l in win)
+
+
 def test_components_edges_plan_is_equi_join(spark):
     from usls_doc_spark.operators.dialect import SPARK as SPARK_D
     from usls_doc_spark.operators.text_queries import build_verified_pairs

@@ -152,3 +152,29 @@ def test_inverted_index_vs_counter(spark, registry, docs_rows):
         assert r["tf"] == tf[term] and r["df"] == len(ids)
         assert r["df_frac"] == len(ids) / total
         assert r["postings_head"] == ",".join(str(i) for i in ids[:POSTINGS_CAP])
+
+
+def test_tfidf_top_terms_vs_counter(spark, registry, docs_rows):
+    from usls_doc_spark.operators.web_curation import TOP_TERMS_K
+
+    got: dict[int, list] = {}
+    for r in registry["tfidf_top_terms"](spark, SF_DIR).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    df_map: dict[str, int] = Counter()
+    per_doc: dict[int, Counter] = {}
+    for doc_id, text, _l in docs_rows:
+        words = text.split(" ")
+        per_doc[doc_id] = Counter(words)
+        df_map.update(set(words))
+    total = len(docs_rows)
+    for doc_id, tf_c in per_doc.items():
+        scored = sorted(
+            ((tf * total / df_map[t], t, tf) for t, tf in tf_c.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:TOP_TERMS_K]
+        rows = sorted(got[doc_id], key=lambda r: r["rnk"])
+        assert len(rows) == len(scored)
+        for rnk, (score, term, tf) in enumerate(scored, 1):
+            r = rows[rnk - 1]
+            assert (r["term"], r["tf"], r["rnk"]) == (term, tf, rnk), doc_id
+            assert r["df"] == df_map[term] and r["score"] == score

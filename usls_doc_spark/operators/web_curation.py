@@ -319,9 +319,59 @@ FROM stats s JOIN heads h ON s.term = h.term
 """
 
 
+TOP_TERMS_K = 3
+
+
+def q_tfidf_top_terms(d: Dialect) -> str:
+    """Per-document top-3 most-characteristic terms by a tf*N/df score —
+    the classic IR relevance ranking (log-free tf-idf variant: ln() is not
+    bit-portable across engines, while tf*N is exact integer arithmetic
+    and the single IEEE division is correctly rounded, so the score is
+    bit-identical in both). Ties break by term ascending; rank carried in
+    the output.
+
+    Scale shape: explode -> per-(doc, term) count (ONE hash aggregate with
+    map-side combine), join per-term df stats on the term key (shuffle
+    equi-join; at web scale the vocab side is large too, so no broadcast
+    assumption), then a per-doc top-k window — the window shuffles on
+    doc_id and each partition holds only that doc's distinct terms. No
+    unbounded state, no cross-doc pair term."""
+    w = d.split("text")
+    return f"""
+WITH tokens AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, {w} AS ws FROM documents) {d.explode("ws", "term")}
+),
+doc_tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term
+),
+term_df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term
+),
+scored AS (
+  SELECT t.doc_id, t.term,
+         CAST(t.tf AS BIGINT) AS tf,
+         CAST(s.df AS BIGINT) AS df,
+         CAST(t.tf * (SELECT count(*) FROM documents) AS DOUBLE) / s.df
+           AS score
+  FROM doc_tf t JOIN term_df s ON t.term = s.term
+)
+SELECT doc_id, term, tf, df, score,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rnk
+  FROM scored
+) ranked
+WHERE rnk <= {TOP_TERMS_K}
+"""
+
+
 WEB_QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "paragraph_dedup": q_paragraph_dedup,
     "stratified_sample": q_stratified_sample,
     "inverted_index": q_inverted_index,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
