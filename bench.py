@@ -55,8 +55,10 @@ BENCH_QUERIES = [
     "layout_instances",
     "table_cells",
     "multimodal_features",
-    # round-4 web-curation family
+    # round-4 web-curation family (+ round-5 agg variant; paragraph_dedup
+    # and inverted_index are the round-5 skew-safe rewrites)
     "url_canonicalize",
+    "url_canonicalize_agg",
     "paragraph_dedup",
     "stratified_sample",
     "inverted_index",

@@ -204,14 +204,20 @@ def test_url_canonicalize_one_shuffle_no_join(spark):
     assert "doc_id" in read and "text" not in read and "lang" not in read
 
 
-def test_paragraph_dedup_no_join_scan_prunes(spark):
-    """Chunk dedup = explode -> chunk-hash window -> doc_id re-assembly:
-    joins never appear (the keep flag rides the exploded row)."""
+def test_paragraph_dedup_first_occurrence_is_hash_agg_not_window(spark):
+    """Round-4 VERDICT item 1: the global first-occurrence must be a
+    min-key aggregate with MAP-SIDE PARTIAL aggregation (hot boilerplate
+    chunks collapse to one row per mapper), never a row_number window on
+    the chunk hash (a window partition is one task — the one shuffle
+    shape AQE cannot split). The keep flag comes back via an equi-join."""
     from usls_doc_spark.queries import build_registry
 
     qs, _ = build_registry()
     plan = plan_of(qs["paragraph_dedup"](spark, SF_DIR))
-    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan and "row_number" not in plan
+    assert "partial_min" in plan  # map-side combine on the chunk hash
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "doc_id" in read and "text" in read and "lang" not in read
 
@@ -227,15 +233,35 @@ def test_stratified_sample_is_shuffle_free(spark):
     assert "text" not in read and "source" not in read
 
 
-def test_inverted_index_equi_join_only(spark):
+def test_inverted_index_bounded_topk_no_window(spark):
+    """Round-4 VERDICT item 2: the postings head must be the two-level
+    salted top-k (per-(term, salt) sorted head arrays merged per term),
+    never a row_number window over bare term — a stopword term would ship
+    its whole posting list into one window task before the cap applied."""
     from usls_doc_spark.queries import build_registry
 
     qs, _ = build_registry()
     plan = plan_of(qs["inverted_index"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # stats-to-heads join keys on term (equi), postings capped pre-agg
-    assert "rk" in plan and "row_number" in plan
+    assert "windowspecdefinition" not in plan and "row_number" not in plan
+    # level-1 aggregate keys on (term, salt expression) with map-side combine
+    assert "partial_collect_list" in plan
+    assert "_groupingexpression" in plan  # the doc_id % SALTS grouping key
+
+
+def test_url_canonicalize_agg_is_pure_hash_agg(spark):
+    """The Zipf-head scale path: first-fetch-wins as min/min_by aggregate
+    — one exchange with map-side combine, no window, no join."""
+    from usls_doc_spark.queries import build_registry
+
+    qs, _ = build_registry()
+    plan = plan_of(qs["url_canonicalize_agg"](spark, SF_DIR))
+    assert "windowspecdefinition" not in plan and "Join" not in plan
+    assert "partial_min_by" in plan and "partial_min(" in plan
+    assert plan.count("Exchange") == 1
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read and "text" not in read and "lang" not in read
 
 
 def test_tfidf_top_terms_equi_join_and_per_doc_window(spark):

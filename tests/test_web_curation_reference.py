@@ -52,7 +52,15 @@ def _raw_url(doc_id: int) -> str:
     utm = "utm_source=feed" if doc_id % 4 < 3 else ""
     ref = "ref=mail" if doc_id % 7 == 0 else ""
     iid = f"id={page_id}"
-    items = [utm, iid, ref, "v=1"] if doc_id % 2 == 0 else ["v=1", utm, iid, ref]
+    # page-keyed NON-tracking param: 'utmx' lacks the underscore, so the
+    # canonicalizer must KEEP it (regression probe for LIKE 'utm_%' whose
+    # '_' is a single-char wildcard — round-4 ADVICE item 1)
+    utmx = "utmx=1" if page_id % 2 == 0 else ""
+    items = (
+        [utm, iid, utmx, ref, "v=1"]
+        if doc_id % 2 == 0
+        else ["v=1", utmx, utm, iid, ref]
+    )
     qs = "&".join(p for p in items if p)
     frag = f"#sec{doc_id % 7}" if doc_id % 6 == 0 else ""
     return f"{scheme}://{host}{path}" + (f"?{qs}" if qs else "") + frag
@@ -99,6 +107,45 @@ def test_url_canonicalize_vs_urllib(spark, registry, docs_rows):
         assert r["dup_count"] == len(members)
         assert r["dup_rank"] == members.index(doc_id) + 1
         assert r["url_kept"] == (1 if members[0] == doc_id else 0)
+
+
+def test_url_canonicalize_keeps_utmx_param(spark, registry, docs_rows):
+    """The probe row must survive: canonical URLs of even pages carry
+    utmx=1 (it is NOT a utm_* tracking param), and the independent
+    urllib canonicalizer agrees — a LIKE-wildcard regression would strip
+    it from the SQL side only."""
+    got = registry["url_canonicalize"](spark, SF_DIR).collect()
+    with_utmx = [r for r in got if "utmx=1" in r["canonical_url"]]
+    assert with_utmx, "no canonical URL kept the utmx probe param"
+    for r in with_utmx:
+        assert (r["doc_id"] // 10) % 2 == 0
+
+
+def test_url_canonicalize_agg_vs_urllib(spark, registry, docs_rows):
+    """The aggregation (Zipf-head) form must pick exactly the windowed
+    form's rank-1 row per canonical URL — verified against the
+    independent urllib canonicalizer, not the shared template."""
+    got = {
+        r["canonical_url"]: r
+        for r in registry["url_canonicalize_agg"](spark, SF_DIR).collect()
+    }
+    groups: dict[str, list[int]] = {}
+    raws: dict[int, str] = {}
+    hosts: dict[str, tuple[str, str]] = {}
+    for doc_id, _t, _l in docs_rows:
+        raw = _raw_url(doc_id)
+        canon, host, reg = _canonicalize(raw)
+        raws[doc_id] = raw
+        groups.setdefault(canon, []).append(doc_id)
+        hosts[canon] = (host, reg)
+    assert got.keys() == groups.keys()
+    for canon, members in groups.items():
+        r = got[canon]
+        first = min(members)
+        assert r["first_doc_id"] == first
+        assert r["first_raw_url"] == raws[first]
+        assert r["dup_count"] == len(members)
+        assert (r["host"], r["registered_domain"]) == hosts[canon]
 
 
 def test_paragraph_dedup_vs_dict_pass(spark, registry, docs_rows):
@@ -152,6 +199,35 @@ def test_inverted_index_vs_counter(spark, registry, docs_rows):
         assert r["tf"] == tf[term] and r["df"] == len(ids)
         assert r["df_frac"] == len(ids) / total
         assert r["postings_head"] == ",".join(str(i) for i in ids[:POSTINGS_CAP])
+
+
+def test_inverted_index_hot_term_head_is_exact(spark):
+    """Round-4 VERDICT item 2 'done' criterion: a stopword present in
+    EVERY doc (df >> POSTINGS_CAP, spread across all salt classes) must
+    still yield the exact global head-16 postings from the two-level
+    salted top-k, identical in both engines."""
+    import pandas as pd
+
+    from tests.oracle_utils import compare
+    from usls_doc_spark.operators.dialect import DUCK, SPARK
+    from usls_doc_spark.operators.text_queries import TEXT_QUERIES
+
+    # scattered, non-contiguous ids so salt classes are uneven
+    ids = [i * 7 + 3 for i in range(41)]
+    rows = [(i, f"the w{i} x{i % 5}", "en") for i in ids]
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    sdf.createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+
+    got = spark.sql(TEXT_QUERIES["inverted_index"](SPARK))
+    ok, msg = compare(got, con.sql(TEXT_QUERIES["inverted_index"](DUCK)))
+    assert ok, msg
+    hot = {r["term"]: r for r in got.collect()}["the"]
+    assert hot["df"] == len(ids) and hot["tf"] == len(ids)
+    assert hot["postings_head"] == ",".join(
+        str(i) for i in sorted(ids)[:POSTINGS_CAP]
+    )
 
 
 def test_tfidf_top_terms_vs_counter(spark, registry, docs_rows):

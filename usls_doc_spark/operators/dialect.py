@@ -114,11 +114,12 @@ class Dialect:
         self, expr: str, order: str, sep: str = "' '", where: str | None = None
     ) -> str:
         """Deterministic ordered string aggregation: join `expr` values in
-        ascending `order`, optionally over a FILTER predicate. Spark's
-        collect_list has no ordering guarantee, so the Spark side sorts
-        (order, value) structs post-collect — bit-identical to DuckDB's
-        ORDER BY aggregate for unique `order` keys (and tie-broken by the
-        value itself otherwise)."""
+        ascending `order`, optionally over a FILTER predicate, with ties on
+        `order` broken by the value itself IN BOTH DIALECTS: the Spark side
+        sorts (order, value) structs post-collect (collect_list alone has
+        no ordering guarantee), and the DuckDB side orders by the composite
+        (order, value) — a bare `ORDER BY order` would leave tied elements
+        in nondeterministic order (round-4 ADVICE item 2)."""
         filt = f" FILTER (WHERE {where})" if where else ""
         if self.name == "spark":
             return (
@@ -126,7 +127,15 @@ class Dialect:
                 f"collect_list(struct({order} AS o, {expr} AS v)){filt}), "
                 f"s -> s.v), {sep})"
             )
-        return f"string_agg({expr}, {sep} ORDER BY {order}){filt}"
+        return f"string_agg({expr}, {sep} ORDER BY {order}, {expr}){filt}"
+
+    def sorted_list(self, expr: str) -> str:
+        """Aggregate `expr` values into an ascending-sorted array —
+        deterministic regardless of arrival order in either engine (the
+        collect itself is unordered; the explicit sort fixes it)."""
+        if self.name == "spark":
+            return f"array_sort(collect_list({expr}))"
+        return f"list_sort(list({expr}))"
 
     def array_join(self, a: str, sep: str = "' '") -> str:
         return (

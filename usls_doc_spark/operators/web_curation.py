@@ -37,31 +37,25 @@ def _sep(d: Dialect, ch: str) -> str:
     return "'" + ch + "'"
 
 
-def q_url_canonicalize(d: Dialect) -> str:
-    """URL canonicalization + URL-level dedup — stage 1 of a crawl-curation
-    pipeline (the reference consumes post-fetch documents; a 100 TB corpus
-    first collapses the crawl frontier by canonical URL).
+def _url_canon_ctes(d: Dialect) -> str:
+    """Shared WITH-body (raw ... canon) for the two URL-dedup forms.
 
     Input construction: the crawl log's raw URLs are synthesized
     DETERMINISTICALLY per doc_id inside the query (mixed-case scheme/host,
     optional www. prefix and :443 default port, trailing slash, utm_*/ref
-    tracking params, kept params in varying order, fragments), with the
-    ten raw variants of page_id = doc_id div 10 all collapsing onto ONE
-    canonical URL — the same rebuild-the-input pattern as the multimodal
-    page-byte oracle. The OPERATOR then parses the raw URL STRING back
-    apart (split on '://', '/', ':', '#', '?', '&' — no regex, no UDF) and
-    canonicalizes: lowercase scheme/host/path, strip the default port,
-    strip leading 'www.', drop the fragment, drop utm_*/ref params, sort
-    the surviving params, strip the trailing slash; registered domain =
-    last two host labels. Dedup rank = row_number per canonical_url
-    ordered by doc_id (the crawl's "first fetch wins" rule).
-
-    Scale shape: one scan; all parsing is per-row string/array work inside
-    whole-stage codegen; ONE shuffle for the canonical_url window. Group
-    size is bounded by the variant fan-in (here 10; real crawls are
-    Zipf-ish — AQE skew-split covers the pathological head, and since the
-    rank-1 row is the only downstream consumer a min_by aggregation is the
-    drop-in alternative)."""
+    tracking params, a page-keyed 'utmx=1' NON-tracking param that a
+    wildcard 'utm_%' LIKE would wrongly strip, kept params in varying
+    order, fragments), with the ten raw variants of page_id = doc_id
+    div 10 all collapsing onto ONE canonical URL — the same
+    rebuild-the-input pattern as the multimodal page-byte oracle. The
+    OPERATOR then parses the raw URL STRING back apart (split on '://',
+    '/', ':', '#', '?', '&' — no regex, no UDF) and canonicalizes:
+    lowercase scheme/host/path, strip the default port, strip leading
+    'www.', drop the fragment, drop utm_*/ref params (the underscore
+    matched LITERALLY via substr — LIKE's '_' is a single-char wildcard
+    in both dialects and would also drop 'utmx=…'; round-4 ADVICE
+    item 1), sort the surviving params, strip the trailing slash;
+    registered domain = last two host labels."""
     qm = _sep(d, "?")
     dot = _sep(d, ".")
     s_str = "STRING" if d.name == "spark" else "VARCHAR"
@@ -84,10 +78,14 @@ def q_url_canonicalize(d: Dialect) -> str:
     utm_item = "CASE WHEN doc_id % 4 < 3 THEN 'utm_source=feed' ELSE '' END"
     ref_item = "CASE WHEN doc_id % 7 = 0 THEN 'ref=mail' ELSE '' END"
     id_item = "'id=' || " + pid_str
+    # NOT a tracking param ('utmx' lacks the underscore): PAGE-keyed so all
+    # ten variants of a page agree and the canonical collapse is preserved —
+    # this row is the regression probe for the literal-underscore match
+    utmx_item = "CASE WHEN page_id % 2 = 0 THEN 'utmx=1' ELSE '' END"
     # kept params appear in parity-dependent raw order; canonicalization
     # sorts them, so both orders collapse
-    items_even = ", ".join([utm_item, id_item, ref_item, "'v=1'"])
-    items_odd = ", ".join(["'v=1'", utm_item, id_item, ref_item])
+    items_even = ", ".join([utm_item, id_item, utmx_item, ref_item, "'v=1'"])
+    items_odd = ", ".join(["'v=1'", utmx_item, utm_item, id_item, ref_item])
     if d.name == "spark":
         arr_even, arr_odd = "array(" + items_even + ")", "array(" + items_odd + ")"
     else:
@@ -103,13 +101,14 @@ def q_url_canonicalize(d: Dialect) -> str:
         + ") ELSE '' END"
     )
     host_nop = d.element(d.split("host_port", "':'"), "1")
+    # substr, not LIKE 'utm_%': LIKE's '_' is a single-char wildcard in both
+    # engines and would also strip non-tracking 'utmx=…' params
     kept_params = d.array_filter(
-        d.split("qs", "'&'"), "p", "NOT p LIKE 'utm_%' AND NOT p LIKE 'ref=%'"
+        d.split("qs", "'&'"), "p", "substr(p, 1, 4) <> 'utm_' AND NOT p LIKE 'ref=%'"
     )
     labels = d.split("host", dot)
     n_labels = d.array_len(labels)
-    return f"""
-WITH raw AS (
+    return f"""raw AS (
   SELECT doc_id,
          raw_scheme || '://' || raw_host || raw_path ||
            (CASE WHEN {d.array_len("raw_params")} > 0
@@ -163,7 +162,25 @@ canon AS (
                  ELSE '?' || {d.array_join(d.array_sort(kept_params), "'&'")} END)
            AS canonical_url
   FROM pathc
-)
+)"""
+
+
+def q_url_canonicalize(d: Dialect) -> str:
+    """URL canonicalization + URL-level dedup — stage 1 of a crawl-curation
+    pipeline (the reference consumes post-fetch documents; a 100 TB corpus
+    first collapses the crawl frontier by canonical URL). Shared parse /
+    canonicalize CTEs: _url_canon_ctes. Dedup rank = row_number per
+    canonical_url ordered by doc_id (the crawl's "first fetch wins" rule);
+    this WINDOWED form is the one that must emit every raw row with its
+    rank — consumers that only need the winner use q_url_canonicalize_agg.
+
+    Scale shape: one scan; all parsing is per-row string/array work inside
+    whole-stage codegen; ONE shuffle for the canonical_url window. Group
+    size is bounded by the variant fan-in (here 10; real crawls are
+    Zipf-ish — for a Zipf head the aggregation form url_canonicalize_agg
+    is the scale path, since a window partition is always one task)."""
+    return f"""
+WITH {_url_canon_ctes(d)}
 SELECT doc_id, raw_url, canonical_url, host, registered_domain,
        CAST(row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id)
             AS BIGINT) AS dup_rank,
@@ -171,6 +188,29 @@ SELECT doc_id, raw_url, canonical_url, host, registered_domain,
        CASE WHEN row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id) = 1
             THEN 1 ELSE 0 END AS url_kept
 FROM canon
+"""
+
+
+def q_url_canonicalize_agg(d: Dialect) -> str:
+    """First-fetch-wins URL dedup as a pure HASH AGGREGATE (round-4
+    VERDICT item 7): downstream keeps only the rank-1 fetch, so the
+    window in q_url_canonicalize is avoidable — min/min_by per
+    canonical_url collapse each URL group map-side (partial aggregation)
+    before the shuffle, which survives a Zipf-distributed crawl head
+    where one hot URL has millions of raw variants (a window partition
+    would be ONE task there; a hash-agg key is combined per-mapper
+    first). min_by is deterministic because doc_id is unique.
+
+    Scale shape: one scan, per-row parse in codegen, ONE shuffle on the
+    group key with map-side combine. No window, no join."""
+    return f"""
+WITH {_url_canon_ctes(d)}
+SELECT canonical_url, host, registered_domain,
+       CAST(min(doc_id) AS BIGINT) AS first_doc_id,
+       min_by(raw_url, doc_id) AS first_raw_url,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM canon
+GROUP BY canonical_url, host, registered_domain
 """
 
 
@@ -190,13 +230,18 @@ def q_paragraph_dedup(d: Dialect) -> str:
     n_kept = 0); partially-overlapping docs keep their novel chunks — both
     branches are exercised by the corpus's dup-amplified rows.
 
-    Scale shape: explode to one row per chunk (corpus rows x ~n_words/16),
-    ONE shuffle keyed on md5(chunk) for the first-occurrence window
-    (high-cardinality key, tiny partitions; AQE skew-split covers
-    degenerate boilerplate chunks that repeat corpus-wide), then ONE
-    shuffle back on doc_id for the ordered re-assembly. No self-join, no
-    pairwise term; per-group memory is bounded by per-doc chunk count on
-    the re-assembly side and duplicate multiplicity on the hash side."""
+    Scale shape (round-4 VERDICT item 1 — the former per-chunk-hash
+    row_number window was the one shuffle shape AQE cannot split: a
+    corpus-wide boilerplate chunk funnels every copy into ONE window
+    task). First occurrence is now a HASH AGGREGATE: min over a
+    fixed-width sortable (doc_id, idx) key grouped by md5(chunk), with
+    map-side PARTIAL aggregation — a hot chunk collapses to one row per
+    mapper before the shuffle, so the reducer sees one row per mapper,
+    not one row per copy. The keep flag comes back via an equi-join on
+    the chunk hash (skewed joins AQE *can* split), then ONE shuffle on
+    doc_id for the ordered re-assembly. No window anywhere; per-group
+    state is a single min string on the hash side and the per-doc chunk
+    list on the re-assembly side."""
     P = PARA_WORDS
     w = d.split("text")
     n_ch = f"greatest(CAST(ceil({d.array_len('ws')} / {P}.0) AS INT), 1)"
@@ -206,28 +251,35 @@ def q_paragraph_dedup(d: Dialect) -> str:
         chunk_i = (
             f"array_to_string(ws[(idx - 1) * {P} + 1 : (idx - 1) * {P} + {P}], ' ')"
         )
-    kept = "CASE WHEN occ = 1 THEN 1 END"
+    # zero-padded fixed-width key: lexicographic string min == numeric
+    # (doc_id, idx) min, and min(string) partial-aggregates map-side in
+    # both engines (a struct/row min is not portable to DuckDB's agg set)
+    key = (
+        "lpad(" + d.str_cast("doc_id") + ", 20, '0') || ':' || "
+        "lpad(" + d.str_cast("idx") + ", 10, '0')"
+    )
+    kept = "CASE WHEN k = first_k THEN 1 END"
     return f"""
 WITH docs AS (
   SELECT doc_id, {w} AS ws FROM documents
 ),
 chunked AS (
-  SELECT doc_id, idx, {chunk_i} AS chunk
-  FROM docs {d.explode(d.seq("1", n_ch), "idx")}
+  SELECT doc_id, idx, chunk, {d.md5("chunk")} AS h, {key} AS k
+  FROM (
+    SELECT doc_id, idx, {chunk_i} AS chunk
+    FROM docs {d.explode(d.seq("1", n_ch), "idx")}
+  )
 ),
-ranked AS (
-  SELECT doc_id, idx, chunk,
-         row_number() OVER (PARTITION BY {d.md5("chunk")}
-                            ORDER BY doc_id, idx) AS occ
-  FROM chunked
+firsts AS (
+  SELECT h, min(k) AS first_k FROM chunked GROUP BY h
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(count({kept}) AS BIGINT) AS n_kept,
-       COALESCE({d.ordered_string_agg("chunk", "idx", where="occ = 1")}, '')
+       COALESCE({d.ordered_string_agg("chunk", "idx", where="k = first_k")}, '')
          AS dedup_text,
        CAST(count({kept}) AS DOUBLE) / count(*) AS kept_fraction
-FROM ranked
+FROM chunked c JOIN firsts f ON c.h = f.h
 GROUP BY doc_id
 """
 
@@ -273,6 +325,7 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 POSTINGS_CAP = 16
+POSTINGS_SALTS = 8  # fan-out of the level-1 bounded top-k (the skew knob)
 
 
 def q_inverted_index(d: Dialect) -> str:
@@ -282,15 +335,30 @@ def q_inverted_index(d: Dialect) -> str:
     pipeline builds over the kept set (which terms live where, how
     concentrated the corpus is).
 
-    Scale shape: explode -> ONE hash aggregate with map-side partial
-    aggregation for tf/df; the postings head is capped BEFORE aggregation
-    (row_number over term on the distinct (term, doc) set, keep rank <=
-    16) so no unbounded per-term list is ever materialized; the distinct,
-    the window and the final groupBy all hash on the same term key so the
-    ranked branch reuses one exchange. df_frac is a single division of two
-    exact BIGINTs (bit-identical IEEE in both engines)."""
+    Scale shape (round-4 VERDICT item 2 — the former per-term row_number
+    window shipped a stopword term's ENTIRE posting list into one window
+    task before the 16-cap applied). The postings head is now a TWO-LEVEL
+    bounded top-k with no window at all: level 1 groups the distinct
+    (term, doc) set by (term, doc_id % 8) and keeps each salt class's 16
+    smallest doc_ids (sorted-array slice — a hot term fans out over 8
+    aggregation keys, and collect partial-aggregates map-side so each
+    reducer merges per-mapper lists, never one row per posting); level 2
+    merges the <= 8*16 candidates per term and slices the global head-16.
+    The merge is EXACT because the salt classes partition the doc space:
+    every member of the true head-16 is among its own class's 16 smallest.
+    tf/df stay ONE hash aggregate with map-side combine; stats-to-heads is
+    a term equi-join; df_frac is a single division of two exact BIGINTs
+    (bit-identical IEEE in both engines)."""
     w = d.split("text")
-    postings = d.ordered_string_agg(d.str_cast("doc_id"), "doc_id", sep="','")
+    head1 = d.array_slice(d.sorted_list("doc_id"), 1, POSTINGS_CAP)
+    postings = d.array_join(
+        d.array_transform(
+            d.array_slice(d.sorted_list("doc_id"), 1, POSTINGS_CAP),
+            "x",
+            d.str_cast("x"),
+        ),
+        "','",
+    )
     return f"""
 WITH tokens AS (
   SELECT doc_id, term
@@ -302,15 +370,17 @@ stats AS (
          CAST(count(DISTINCT doc_id) AS BIGINT) AS df
   FROM tokens GROUP BY term
 ),
-ranked AS (
-  SELECT term, doc_id,
-         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk
-  FROM (SELECT DISTINCT term, doc_id FROM tokens) td
+td AS (SELECT DISTINCT term, doc_id FROM tokens),
+heads1 AS (
+  SELECT term, {head1} AS head
+  FROM td GROUP BY term, doc_id % {POSTINGS_SALTS}
+),
+cand AS (
+  SELECT term, doc_id FROM heads1 {d.explode("head", "doc_id")}
 ),
 heads AS (
   SELECT term, {postings} AS postings_head
-  FROM ranked WHERE rk <= {POSTINGS_CAP}
-  GROUP BY term
+  FROM cand GROUP BY term
 )
 SELECT s.term, s.tf, s.df,
        CAST(s.df AS DOUBLE) / (SELECT count(*) FROM documents) AS df_frac,
@@ -370,6 +440,7 @@ WHERE rnk <= {TOP_TERMS_K}
 
 WEB_QUERIES = {
     "url_canonicalize": q_url_canonicalize,
+    "url_canonicalize_agg": q_url_canonicalize_agg,
     "paragraph_dedup": q_paragraph_dedup,
     "stratified_sample": q_stratified_sample,
     "inverted_index": q_inverted_index,
