@@ -20,6 +20,82 @@ def test_attribution_matches_batch_interval_join(spark):
     assert ok, msg
 
 
+def test_attribution_outer_matches_batch_left_join(spark):
+    from usls_doc_spark.streaming.attribution import (
+        ATTRIBUTION_OUTER_ORACLE,
+        streaming_click_attribution_outer,
+    )
+
+    got = streaming_click_attribution_outer(spark, SF_DIR)
+    assert got.filter("purchase_id IS NULL").count() > 0  # real outer rows
+    con = duck_con(SF_DIR)
+    ok, msg = compare(got, con.sql(ATTRIBUTION_OUTER_ORACLE))
+    assert ok, msg
+
+
+def test_attribution_outer_nulls_emit_only_after_watermark(spark, tmp_path_factory):
+    """The defining leftOuter property: an unmatched view's NULL row may
+    NOT emit while its window could still be matched — it emits only once
+    the watermark passes view_ts + 2 h, which also EVICTS the view's
+    state (numRowsRemoved > 0). no-data micro-batches are disabled so
+    watermark application points are deterministic."""
+    import os
+
+    from usls_doc_spark.streaming.attribution import (
+        ATTRIBUTION_OUT_SCHEMA,
+        ATTRIBUTION_OUTER_ORACLE,
+        start_attribution_stream,
+        write_watermark_sentinels,
+    )
+    from usls_doc_spark.streaming.sink import read_sink_or_empty
+
+    base = tmp_path_factory.mktemp("events_outer")
+    import shutil
+
+    shutil.copy(f"{SF_DIR}/events.parquet", str(base / "batch0.parquet"))
+    os.utime(str(base / "batch0.parquet"), (2_000_000_000, 2_000_000_000))
+    sink = str(tmp_path_factory.mktemp("attr_outer_sink") / "pairs")
+
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    q = start_attribution_stream(
+        spark, str(base), sink, "attr_outer_state_test",
+        max_files=1, glob="*.parquet", how="leftOuter",
+    )
+    try:
+        q.processAllAvailable()
+        # all real data processed, watermark not yet applied: the matched
+        # pairs are out, but NOT ONE unmatched-view NULL row may exist
+        mid = read_sink_or_empty(spark, sink, ATTRIBUTION_OUT_SCHEMA)
+        assert mid.filter("purchase_id IS NULL").count() == 0
+        assert mid.count() > 0  # inner matches did emit eagerly
+
+        max_ts = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .selectExpr("max(ts) AS m").collect()[0]["m"]
+        )
+        write_watermark_sentinels(spark, str(base), max_ts)
+        q.processAllAvailable()
+        progress = q.lastProgress
+    finally:
+        q.stop()
+        spark.conf.set(key, prev)
+
+    # state eviction accompanied the NULL emissions
+    ops = (progress or {}).get("stateOperators", [])
+    removed = sum(int(o.get("numRowsRemoved", 0)) for o in ops)
+    assert removed > 0, f"no state evicted at watermark passage: {ops}"
+
+    got = read_sink_or_empty(spark, sink, ATTRIBUTION_OUT_SCHEMA).filter(
+        "view_id >= 0"
+    )
+    assert got.filter("purchase_id IS NULL").count() > 0
+    con = duck_con(SF_DIR)
+    ok, msg = compare(got, con.sql(ATTRIBUTION_OUTER_ORACLE))
+    assert ok, msg
+
+
 def test_attribution_joins_across_micro_batches(spark, tmp_path_factory):
     from usls_doc_spark.streaming.attribution import (
         ATTRIBUTION_OUT_SCHEMA,

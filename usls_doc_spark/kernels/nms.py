@@ -40,10 +40,13 @@ def nms_indices(boxes: np.ndarray, confs: np.ndarray, iou_threshold: float) -> n
     # identical anchors per block).
     bo = np.ascontiguousarray(boxes[order])
     if iou_threshold < 1.0:
-        # first-occurrence row dedup via a byte-key set: identical result
-        # to np.unique(axis=0, return_index) + re-sort, at a fraction of
-        # its lexsort/view machinery cost (n is tens of boxes per page and
-        # this runs once per document in the extraction hot path)
+        # first-occurrence row dedup via a byte-key set. BITWISE equality
+        # is the invariant: rows that are value-equal but byte-distinct
+        # (0.0 vs -0.0, NaN coords) are NOT collapsed here, unlike
+        # np.unique(axis=0) — the surviving twin is still suppressed via
+        # IoU 1.0 below, so the FINAL NMS OUTPUT is identical (fuzz-
+        # verified incl. -0.0), at a fraction of unique's lexsort cost
+        # (n is tens of boxes per page, once per doc in the hot path)
         rows = bo.view(np.uint8).reshape(n, -1)
         seen: set[bytes] = set()
         keep_j = [

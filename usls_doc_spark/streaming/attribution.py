@@ -54,9 +54,15 @@ def _event_stream(spark: SparkSession, events_dir: str, glob: str,
 def start_attribution_stream(spark: SparkSession, events_dir: str,
                              sink_dir: str, query_name: str = _QUERY_NAME,
                              max_files: int | None = None,
-                             glob: str = "events.parquet"):
-    """Start the two-stream interval join, appending matched pairs to
-    ``sink_dir`` per micro-batch (executor-side parquet, no driver sink)."""
+                             glob: str = "events.parquet",
+                             how: str = "inner"):
+    """Start the two-stream interval join (``how`` = 'inner' or
+    'leftOuter'), appending result rows to ``sink_dir`` per micro-batch
+    (executor-side parquet, no driver sink). In the leftOuter form,
+    views with no purchase inside the window emit with NULL
+    purchase_id/purchase_ts/lag_ms — but only once the global watermark
+    (the MIN across both sides' watermarks) passes view_ts + 2 h and
+    Structured Streaming can prove no match will arrive."""
     for q in spark.streams.active:
         if q.name == query_name:
             q.stop()
@@ -87,11 +93,13 @@ def start_attribution_stream(spark: SparkSession, events_dir: str,
                 AND purchase_ts >= view_ts
                 AND purchase_ts <= view_ts + INTERVAL {WINDOW_MINUTES} MINUTES"""
         ),
-        "inner",
+        how,
     ).select(
         "view_id",
         "purchase_id",
-        "user_id",
+        # the VIEW side's user id: identical under inner join, but the
+        # purchase side's is NULL on leftOuter's unmatched-view rows
+        F.col("view_user").alias("user_id"),
         "view_ts",
         "purchase_ts",
         (F.unix_millis("purchase_ts") - F.unix_millis("view_ts")).alias("lag_ms"),
@@ -108,9 +116,29 @@ def start_attribution_stream(spark: SparkSession, events_dir: str,
     )
 
 
+def dropped_by_watermark(q) -> int:
+    """Total rows the join state dropped as too-late across the query's
+    recorded progress — nonzero means some input arrived more than the
+    watermark delay out of event-time order and was EXCLUDED from the
+    join, silently diverging from the batch oracle."""
+    return sum(
+        int(so.get("numRowsDroppedByWatermark", 0))
+        for p in q.recentProgress
+        for so in p.get("stateOperators", [])
+    )
+
+
 def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the stream over the events table and return the matched
-    pairs — exactly the batch interval join (ATTRIBUTION_ORACLE)."""
+    pairs — exactly the batch interval join (ATTRIBUTION_ORACLE).
+
+    Ordering assumption (round-4 ADVICE item 5): the drained-stream ==
+    batch-oracle contract holds only if no micro-batch arrives more than
+    the 1-hour watermark delay out of event-time order — a later file
+    containing older events would have its late rows dropped from join
+    state with no error. The driver path reads one events.parquet in a
+    single micro-batch, so this holds trivially; the assert below turns
+    any future multi-file source violating it into a loud failure."""
     import atexit
 
     sink_dir = tempfile.mkdtemp(prefix="usls_stream_attr_")
@@ -119,11 +147,110 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_attribution_stream(spark, sf_dir, sink_dir)
     try:
         q.processAllAvailable()
+        dropped = dropped_by_watermark(q)
     finally:
         q.stop()
+    if dropped:
+        raise RuntimeError(
+            f"{dropped} late rows dropped by watermark — input files arrived "
+            "out of event-time order; the batch oracle no longer applies"
+        )
     from .sink import read_sink_or_empty
 
     return read_sink_or_empty(spark, sink_dir, ATTRIBUTION_OUT_SCHEMA)
+
+
+SENTINEL_USER = -1  # never a real user_id (synth user ids are >= 0)
+
+
+def write_watermark_sentinels(spark: SparkSession, events_dir: str,
+                              max_ts, waves=(7, 11),
+                              mtime_base: int = 2_000_000_000) -> None:
+    """Write one tiny parquet file per sentinel wave into ``events_dir``:
+    a matching view+purchase pair for SENTINEL_USER at max_ts + <wave>
+    hours, with pinned ascending mtimes so the file source triggers them
+    AFTER the real data.
+
+    Why two waves: Structured Streaming applies the watermark computed at
+    the END of batch N during batch N+1 — wave 1 advances the watermark
+    past every real view's close point (view_ts + 2 h window + 1 h
+    delay), and wave 2 forces a further batch in which that watermark is
+    APPLIED, evicting closed view state and emitting the unmatched-view
+    NULL rows. Without wave 2 the emission would depend on Spark's
+    optional no-data micro-batch racing processAllAvailable."""
+    import os
+    from datetime import timedelta
+
+    stage = tempfile.mkdtemp(prefix="usls_sentinel_stage_")
+    try:
+        for i, hours in enumerate(waves):
+            ts = max_ts + timedelta(hours=hours)
+            rows = [
+                (-(2 * i + 1), ts, SENTINEL_USER, "view", 0.0, ""),
+                (-(2 * i + 2), ts, SENTINEL_USER, "purchase", 0.0, ""),
+            ]
+            sdir = f"{stage}/w{i}"
+            spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(sdir)
+            part = next(
+                p for p in os.listdir(sdir) if p.startswith("part-") and p.endswith(".parquet")
+            )
+            dest = f"{events_dir}/sentinel{i}.parquet"
+            shutil.move(f"{sdir}/{part}", dest)
+            os.utime(dest, (mtime_base + i + 1, mtime_base + i + 1))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def streaming_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER drained stream == batch LEFT JOIN: every view emits,
+    with NULL purchase columns when no same-user purchase lands inside
+    the 2-hour window — the genuinely hard half of stream-stream joins
+    (round-4 VERDICT item 4): an unmatched view can only emit once the
+    watermark PROVES no match will arrive, so at end-of-input every view
+    younger than max_ts - 3 h would stay open forever and the drained
+    stream would be missing exactly those NULL rows.
+
+    Watermark-closure protocol: the events file is staged into a work
+    dir followed by two far-future sentinel waves (see
+    write_watermark_sentinels) under maxFilesPerTrigger=1, so the stream
+    processes [data, wave1, wave2] in event-time order; wave 1 advances
+    the global watermark past every real view's close point and wave 2
+    forces the batch that applies it. Sentinel rows (negative ids) are
+    filtered out of the result. The files are written oldest-first, so
+    nothing is ever late — asserted via dropped_by_watermark == 0."""
+    import atexit
+    import os
+
+    work = tempfile.mkdtemp(prefix="usls_stream_attr_outer_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    events_dir = f"{work}/in"
+    os.makedirs(events_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{events_dir}/batch0.parquet")
+    os.utime(f"{events_dir}/batch0.parquet", (2_000_000_000, 2_000_000_000))
+    max_ts = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").agg(F.max("ts")).collect()[0][0]
+    )
+    write_watermark_sentinels(spark, events_dir, max_ts)
+
+    sink_dir = f"{work}/sink"
+    q = start_attribution_stream(
+        spark, events_dir, sink_dir, _QUERY_NAME + "_outer",
+        max_files=1, glob="*.parquet", how="leftOuter",
+    )
+    try:
+        q.processAllAvailable()
+        dropped = dropped_by_watermark(q)
+    finally:
+        q.stop()
+    if dropped:
+        raise RuntimeError(
+            f"{dropped} late rows dropped by watermark — sentinel protocol broken"
+        )
+    from .sink import read_sink_or_empty
+
+    return read_sink_or_empty(spark, sink_dir, ATTRIBUTION_OUT_SCHEMA).filter(
+        "view_id >= 0"
+    )
 
 
 # the batch equivalent the drained stream must converge to (inner interval
@@ -138,4 +265,19 @@ SELECT v.event_id AS view_id,
 FROM events v JOIN events p ON v.user_id = p.user_id
 WHERE v.event_type = 'view' AND p.event_type = 'purchase'
   AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL {WINDOW_MINUTES} MINUTE
+"""
+
+# the batch LEFT JOIN the drained leftOuter stream must converge to once
+# the sentinel protocol closes every real view's watermark window
+ATTRIBUTION_OUTER_ORACLE = f"""
+SELECT v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       v.user_id,
+       v.ts AS view_ts,
+       p.ts AS purchase_ts,
+       epoch_ms(p.ts) - epoch_ms(v.ts) AS lag_ms
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL {WINDOW_MINUTES} MINUTE
 """

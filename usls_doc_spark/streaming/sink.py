@@ -9,14 +9,22 @@ empty result the drained stream semantically produced.
 
 from __future__ import annotations
 
-import os
-
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 
 def read_sink_or_empty(spark: SparkSession, sink_dir: str, schema: str) -> DataFrame:
     """Read a foreachBatch parquet sink, or return an empty DataFrame with
-    the declared output ``schema`` when no batch ever wrote it."""
-    if not os.path.isdir(sink_dir):
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(sink_dir)
+    the declared output ``schema`` when no batch ever wrote it.
+
+    The zero-batch case is detected by catching the read's
+    path-not-found AnalysisException rather than a driver-side
+    ``os.path.isdir`` — the local-filesystem check is always false for
+    hdfs:// or s3a:// sink URIs, which a multi-executor deployment uses
+    (round-4 ADVICE item 3)."""
+    try:
+        return spark.read.schema(schema).parquet(sink_dir)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
