@@ -26,8 +26,97 @@ HDFS-block-sized at any corpus scale.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+MANIFEST_NAME = "_export_manifest.json"  # '_' prefix: invisible to readers
+
+
+# --- URI-generic small-file IO (manifest lives next to the shards, which
+# may be hdfs:// or s3a:// — driver-side open() only handles file://) ----
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _write_text_file(spark: SparkSession, path: str, content: str) -> None:
+    fs, p = _hadoop_fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text_file(spark: SparkSession, path: str) -> str | None:
+    fs, p = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        buf = spark._jvm.java.io.ByteArrayOutputStream()
+        spark._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+            stream, buf, spark._jsc.hadoopConfiguration(), False
+        )
+        return bytes(buf.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> dict | None:
+    raw = _read_text_file(spark, f"{out_dir}/{MANIFEST_NAME}")
+    return json.loads(raw) if raw is not None else None
+
+
+def _compute_shard_entries(
+    spark: SparkSession, out_dir: str, skip_keys: set[str] | None = None
+) -> dict[str, dict]:
+    """{'split=<s>/shard=<k>': {lines, sha256}} for every shard file under
+    ``out_dir`` — one task per shard file (binaryFile source), hashing on
+    executors, only the tiny (key, sha, count) rows reach the driver.
+    ``skip_keys`` entries are not re-hashed (their manifest rows are
+    already trusted — the resume economy)."""
+    import pandas as pd
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .option("recursiveFileLookup", "true")
+        .load(out_dir)
+        .select("path", "content")
+        .withColumn(
+            "key", F.regexp_extract("path", r"(split=[^/]+/shard=[^/]+)", 1)
+        )
+    )
+    if skip_keys:
+        skip_df = spark.createDataFrame(
+            [(k,) for k in sorted(skip_keys)], "key string"
+        )
+        files = files.join(F.broadcast(skip_df), "key", "left_anti")
+
+    def _hash(batches):
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for key, content in zip(pdf["key"], pdf["content"]):
+                data = bytes(content)
+                rows.append(
+                    (key, hashlib.sha256(data).hexdigest(), data.count(b"\n"))
+                )
+            yield pd.DataFrame(rows, columns=["key", "sha256", "lines"])
+
+    out = files.select("key", "content").mapInPandas(
+        _hash, "key string, sha256 string, lines bigint"
+    )
+    return {
+        r["key"]: {"sha256": r["sha256"], "lines": int(r["lines"])}
+        for r in out.collect()
+    }
 
 
 def export_jsonl_shards(
@@ -35,10 +124,34 @@ def export_jsonl_shards(
     docs: DataFrame,
     out_dir: str,
     packs_per_shard: int = 4,
+    resume: bool = False,
 ) -> dict:
     """Write ``out_dir/split=<s>/shard=<k>/part-*.txt`` JSONL shards from a
-    split_and_pack result joined back to document text. Returns a summary
-    dict (docs, shards) computed from the written output."""
+    split_and_pack result joined back to document text, plus a per-shard
+    manifest (line count + sha256) at ``out_dir/_export_manifest.json``.
+    Returns a summary dict (docs, shards, skipped_shards).
+
+    Resume (round-4 VERDICT item 5 — the checkpoint discipline of
+    pipeline/checkpoint.py applied to the terminal sink): with
+    ``resume=True``, shards already recorded in the manifest are SKIPPED
+    (their rows are anti-joined out before the shuffle, so a completed
+    100 TB run's shards are never re-shuffled or re-written), and only
+    missing/unrecorded shards are produced — via dynamic partition
+    overwrite, which replaces exactly the partitions written and leaves
+    completed shard directories byte-untouched. A manifest entry is
+    written only AFTER its shard file is fully on disk, so a killed run
+    can at worst leave an unrecorded partial shard, which the next
+    resume rewrites deterministically (shard bytes are a pure function
+    of the input)."""
+    spark = packed.sparkSession
+    manifest = read_manifest(spark, out_dir) if resume else None
+    done: dict[str, dict] = dict(manifest["shards"]) if manifest else {}
+    if manifest and manifest.get("packs_per_shard") != packs_per_shard:
+        raise ValueError(
+            "resume with different packs_per_shard would re-bin shards: "
+            f"manifest has {manifest.get('packs_per_shard')}, got {packs_per_shard}"
+        )
+
     rows = (
         packed.join(docs.select("doc_id", "text"), "doc_id")
         .withColumn(
@@ -53,24 +166,48 @@ def export_jsonl_shards(
             ).alias("line"),
         )
     )
-    (
+    if done:
+        done_df = spark.createDataFrame(
+            [(k.split("/")[0].split("=")[1], int(k.split("=")[-1]))
+             for k in sorted(done)],
+            "split string, shard bigint",
+        )
+        rows = rows.join(F.broadcast(done_df), ["split", "shard"], "left_anti")
+
+    writer = (
         rows.repartition("split", "shard")
         .sortWithinPartitions("split", "shard", "doc_id")
         .select("split", "shard", "line")
         .write.partitionBy("split", "shard")
         .mode("overwrite")
-        .text(out_dir)
     )
-    spark = packed.sparkSession
-    written = spark.read.text(out_dir)
-    n_docs = written.count()
-    n_shards = (
-        spark.read.format("text")
-        .option("pathGlobFilter", "*.txt")
-        .load(out_dir)
-        .inputFiles()
+    if resume:
+        # dynamic: only the partitions present in `rows` are replaced —
+        # completed shards from the previous run stay byte-untouched
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    # non-resume keeps the static overwrite: a fresh export must also wipe
+    # stale partitions a previous differently-keyed run may have left
+    writer.text(out_dir)
+
+    new_entries = _compute_shard_entries(spark, out_dir, skip_keys=set(done))
+    all_entries = {**done, **new_entries}
+    _write_text_file(
+        spark,
+        f"{out_dir}/{MANIFEST_NAME}",
+        json.dumps(
+            {
+                "packs_per_shard": packs_per_shard,
+                "shards": dict(sorted(all_entries.items())),
+            },
+            indent=1,
+            sort_keys=True,
+        ),
     )
-    return {"docs": n_docs, "shards": len(set(n_shards))}
+    return {
+        "docs": sum(e["lines"] for e in all_entries.values()),
+        "shards": len(all_entries),
+        "skipped_shards": len(done),
+    }
 
 
 def export_from_sf(spark: SparkSession, sf_dir: str, out_dir: str,

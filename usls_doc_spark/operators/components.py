@@ -41,11 +41,25 @@ MAX_ITERS = 50  # pointer-jumping halves label-chain depth per round:
 #                 O(log2(diameter)) rounds, so 50 covers diameter ~2**50
 
 
-def min_label_components(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFrame:
+def min_label_components(
+    edges: DataFrame,
+    max_iters: int = MAX_ITERS,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Min-id label propagation + pointer jumping over an undirected edge
     list (doc_a, doc_b) until a fixed point. Returns (doc_id,
     component_id). Every label is itself a vertex id (min over ids), so
-    the jump join is total."""
+    the jump join is total.
+
+    ``checkpoint_dir`` (round-4 VERDICT item 8): by default each round
+    truncates lineage with localCheckpoint — blocks live on executors, so
+    an executor LOSS forces recomputation of the exact lineage the
+    checkpoint threw away (fine on local[N], wrong at cluster scale).
+    With a directory set (hdfs://... on a real cluster), rounds use
+    RELIABLE checkpoints: the labels are persisted to the fault-tolerant
+    store and an executor loss re-reads them instead of recomputing."""
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     und = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -87,12 +101,16 @@ def min_label_components(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
                         F.coalesce(F.col("lbl_comp"), F.col("a.component_id")),
                     ).alias("component_id"),
                 )
-                # lineage MUST be truncated each round: the jump self-join
-                # doubles the logical plan per iteration (2^rounds nodes ->
-                # driver OOM by ~10 rounds); localCheckpoint materializes
-                # AND cuts the plan, which cache() alone does not
-                .localCheckpoint(eager=True)
             )
+            # lineage MUST be truncated each round: the jump self-join
+            # doubles the logical plan per iteration (2^rounds nodes ->
+            # driver OOM by ~10 rounds); checkpointing materializes AND
+            # cuts the plan, which cache() alone does not. local = fast,
+            # executor-memory resident; reliable = survives executor loss
+            if checkpoint_dir is not None:
+                new_labels = new_labels.checkpoint(eager=True)
+            else:
+                new_labels = new_labels.localCheckpoint(eager=True)
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "doc_id")
@@ -110,13 +128,17 @@ def min_label_components(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
         und.unpersist()
 
 
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> near-dup graph -> (doc_id, component_id, n_members)."""
+def dedup_components(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """documents -> near-dup graph -> (doc_id, component_id, n_members).
+    ``checkpoint_dir`` switches the per-round lineage cut from
+    localCheckpoint to reliable checkpoints (see min_label_components)."""
     from ..queries import _register_views
 
     _register_views(spark, sf_dir)
     edges = spark.sql(build_verified_pairs(SPARK))
-    labels = min_label_components(edges)
+    labels = min_label_components(edges, checkpoint_dir=checkpoint_dir)
     sizes = labels.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )
