@@ -6,15 +6,25 @@ any previously-kept box exceeds ``iou_threshold`` (strict ``>``). Kept boxes
 retain sort order. Per-image local — in Spark this runs inside the
 extraction pandas UDF, never as a shuffle.
 
-Implementation note: incremental candidate-vs-kept IoU (O(n*k) with small
-1-D temporaries) instead of a materialized n×n IoU matrix — large fresh
-allocations are far more expensive than the arithmetic for the box counts
-seen on oversized (skew) pages.
+Implementation note: small n uses one n×n IoU matrix; large n uses an exact
+conflict-graph reduction (y-interval sweep finds every positive-overlap
+pair; unconflicted boxes are kept outright, greedy runs only on the
+conflicted subset — bit-identical to the sequential loop, A/B-proven in
+tests/test_nms_conflict_graph.py). Dense pages past the pair budget fall
+back to incremental candidate-vs-kept IoU (O(n*k) with small 1-D
+temporaries) — never a materialized n×n matrix, since large fresh
+allocations are far more expensive than the arithmetic here.
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+# Candidate-pair budget for the large-n conflict-graph sweep. Past this the
+# page is genuinely dense (overlap graph ~ quadratic) and the flat pair
+# arrays would become the kind of large fresh allocation this sandbox
+# punishes — fall back to the incremental sequential loop instead.
+_PAIR_CAP = 1_000_000
 
 
 def nms_indices(boxes: np.ndarray, confs: np.ndarray, iou_threshold: float) -> np.ndarray:
@@ -97,6 +107,81 @@ def nms_indices(boxes: np.ndarray, confs: np.ndarray, iou_threshold: float) -> n
     y2 = b[:, 1] + b[:, 3]
     areas = b[:, 2] * b[:, 3]
     thr = np.float32(iou_threshold)
+
+    # Large-n exact conflict-graph reduction (y-interval sweep). Suppression
+    # requires IoU > thr >= 0, which requires strictly positive intersection
+    # area; a box with no positive-area partner among ALL boxes is therefore
+    # kept unconditionally and contributes IoU 0 (or NaN, never > thr) to
+    # every later decision. So greedy only needs to run on the conflicted
+    # subset, with identical float ops -> bit-identical output (A/B-proven
+    # in tests/test_nms_conflict_graph.py). Skew pages — thousands of
+    # y-disjoint flow blocks — collapse to zero pairs and skip the
+    # sequential loop entirely. NaN-coordinate boxes are excluded from the
+    # sweep (sort/searchsorted are undefined on NaN) and treated as
+    # unconflicted, which matches greedy exactly: NaN IoU is never > thr in
+    # either direction.
+    if thr >= 0:
+        nan_free = ~(np.isnan(x1) | np.isnan(y1) | np.isnan(x2) | np.isnan(y2))
+        if nan_free.all():
+            vidx = None
+            sy1, sy2, sx1, sx2 = y1, y2, x1, x2
+        else:
+            vidx = np.nonzero(nan_free)[0]
+            sy1, sy2, sx1, sx2 = y1[vidx], y2[vidx], x1[vidx], x2[vidx]
+        m = len(sy1)
+        o = np.argsort(sy1, kind="stable")
+        ys1, ys2, xs1, xs2 = sy1[o], sy2[o], sx1[o], sx2[o]
+        # per sweep row i: candidate partners j>i with ys1[j] < ys2[i]
+        hi = np.searchsorted(ys1, ys2, side="left")
+        win = hi - np.arange(1, m + 1)
+        np.maximum(win, 0, out=win)
+        n_pairs = int(win.sum())
+        if n_pairs <= _PAIR_CAP:
+            conflicted = np.zeros(n, dtype=bool)
+            if n_pairs:
+                ii = np.repeat(np.arange(m), win)
+                off = np.cumsum(win) - win
+                jj = np.arange(n_pairs) - np.repeat(off, win) + ii + 1
+                # strict both-axis overlap — a superset of inter > 0, so a
+                # false positive only costs a seat in the exact subset loop
+                ov = (
+                    (xs1[ii] < xs2[jj])
+                    & (xs1[jj] < xs2[ii])
+                    & (ys1[ii] < ys2[jj])
+                )  # window already guarantees ys1[jj] < ys2[ii]
+                src = o if vidx is None else vidx[o]
+                conflicted[src[ii[ov]]] = True
+                conflicted[src[jj[ov]]] = True
+            if not conflicted.any():
+                return order
+            sub = np.nonzero(conflicted)[0]  # ascending == conf order
+            s = len(sub)
+            kx1 = np.empty(s, dtype=np.float32)
+            ky1 = np.empty(s, dtype=np.float32)
+            kx2 = np.empty(s, dtype=np.float32)
+            ky2 = np.empty(s, dtype=np.float32)
+            karea = np.empty(s, dtype=np.float32)
+            kept_mask = ~conflicted  # unconflicted boxes are always kept
+            k = 0
+            for i in sub:
+                if k:
+                    l = np.maximum(kx1[:k], x1[i])
+                    r = np.minimum(kx2[:k], x2[i])
+                    t = np.maximum(ky1[:k], y1[i])
+                    bo = np.minimum(ky2[:k], y2[i])
+                    inter = np.maximum(r - l, 0.0) * np.maximum(bo - t, 0.0)
+                    uni = karea[:k] + areas[i] - inter
+                    iou_k = inter / np.maximum(uni, np.float32(1e-12))
+                    if (iou_k > thr).any():
+                        continue
+                kx1[k] = x1[i]
+                ky1[k] = y1[i]
+                kx2[k] = x2[i]
+                ky2[k] = y2[i]
+                karea[k] = areas[i]
+                kept_mask[i] = True
+                k += 1
+            return order[np.nonzero(kept_mask)[0]]
 
     # kept-box coordinate buffers, filled as boxes are accepted
     kx1 = np.empty(n, dtype=np.float32)
