@@ -217,7 +217,9 @@ tracks the machine's ceiling, not a Spark bottleneck).
   larger than ANY local setting. Round 4's kernel speedups (~1.3x
   single-core) shortened the copies=10 job enough that this constant alone
   cost ~4 efficiency points at N=2->8, so the input doubled to copies=20
-  to keep the measured regime comparable across rounds.
+  to keep the measured regime comparable across rounds; round 5's NMS
+  conflict-graph reduction (another ~1.35x single-core) raised it again to
+  copies=30 for the same reason.
 - Single-JVM local mode; no multi-executor cluster exists in this sandbox,
   so N->4N executors is evidenced as N->4N local cores on identical input
   and identical code (per round instructions).

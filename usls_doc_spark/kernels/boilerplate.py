@@ -193,11 +193,13 @@ class _BlockParser(HTMLParser):
 
 
 # ---------------------------------------------------------------------------
-# fast tokenizer: single-pass regex scan driving the SAME handler callbacks
-# as stdlib html.parser (which spends ~60% of extraction time in its
-# char-by-char goahead loop). Byte-identical block output is enforced by
-# tests/test_boilerplate_parser.py differential tests over all fixture pages
-# and an adversarial corpus; USLS_SLOW_PARSER=1 forces the stdlib path.
+# fast tokenizer: single-pass regex scan with the _BlockParser handler
+# semantics inlined over plain locals (stdlib html.parser spends ~60% of
+# extraction time in its char-by-char goahead loop; the per-event method
+# dispatch was the next-largest share). Byte-identical block output is
+# enforced by tests/test_boilerplate_parser.py differential tests over all
+# fixture pages and an adversarial corpus; USLS_SLOW_PARSER=1 forces the
+# stdlib path.
 # ---------------------------------------------------------------------------
 
 # WELL-FORMED tag grammar only: simple name, whitespace-separated attrs with
@@ -235,92 +237,229 @@ _SKIP_CLOSE_RES = {
 }
 
 
-def _emit_data(p: _BlockParser, s: str) -> None:
-    if s:
-        p.handle_data(unescape(s) if "&" in s else s)
+def _fast_parse(html: str) -> list[Block]:
+    """Single-function tokenizer + block state machine over plain locals.
 
-
-def _fast_feed(p: _BlockParser, html: str) -> None:
+    Semantics are EXACTLY the _BlockParser handlers driven by the regex
+    tokenizer (the pre-round-5 ``_fast_feed`` shape), with the per-event
+    method dispatch and attribute traffic inlined away — the handlers run
+    ~300x per page and were the largest remaining share of extraction
+    kernel time after the NMS conflict-graph fix. Byte-identical block
+    output vs the stdlib path is enforced by the differential tests in
+    tests/test_boilerplate_parser.py (fixtures + adversarial corpus +
+    hypothesis fuzz). Raises _FallbackToStdlib outside the well-formed
+    subset; any other internal error degrades to the blocks recovered so
+    far (S3 semantics), matching the old except-pass behavior.
+    """
+    blocks: list[Block] = []
+    open_blocks: list[Block] = []
+    elem_stack: list[tuple[str, bool]] = []
+    bp_depth = 0
+    skip_depth = 0
+    anchor_depth = 0
+    merge_depth = 0
+    flags = _TAG_FLAGS
+    hints = BOILERPLATE_CLASS_HINTS
     i, n = 0, len(html)
     find = html.find
-    while i < n:
-        lt = find("<", i)
-        if lt < 0:
-            _emit_data(p, html[i:])
-            return
-        if lt > i:
-            _emit_data(p, html[i:lt])
-        if html.startswith("<!--", lt):
-            end = find("-->", lt + 4)
-            if end < 0:
-                # invalid/unterminated comment ('<!-->', '<!--->', or EOF):
-                # stdlib close() emits through the next '>' as data and
-                # resumes; with no '>' at all it flushes the remainder
-                g = find(">", lt + 1)
-                if g < 0:
-                    _emit_data(p, html[lt:])
-                    return
-                _emit_data(p, html[lt : g + 1])
-                i = g + 1
+    tag_match = _TAG_RE.match
+    class_search = _CLASS_RE.search
+    pend: str | None = None  # end-tag event funnel: one inline handler site
+    try:
+        while i < n or pend is not None:
+            if pend is not None:
+                name, pend = pend, None
+                f = flags.get(name, 0)
+                if f & _F_SKIP:
+                    if skip_depth:
+                        skip_depth -= 1
+                    continue
+                # close the NEAREST open element with this name (standard
+                # HTML recovery); fast path: well-nested markup
+                if elem_stack and elem_stack[-1][0] == name:
+                    if elem_stack[-1][1]:
+                        bp_depth -= 1
+                    elem_stack.pop()
+                else:
+                    for j in range(len(elem_stack) - 1, -1, -1):
+                        if elem_stack[j][0] == name:
+                            for _t, was_bp in elem_stack[j:]:
+                                if was_bp:
+                                    bp_depth -= 1
+                            del elem_stack[j:]
+                            break
+                if not f & (_F_ANCHOR | _F_MERGE | _F_CELLSEP | _F_BLOCK):
+                    continue  # plain container, the common case
+                if f & _F_ANCHOR:
+                    if anchor_depth:
+                        anchor_depth -= 1
+                elif f & _F_MERGE:
+                    if merge_depth == 1 and open_blocks:
+                        blk = open_blocks.pop()
+                        blk.text = " ".join("".join(blk._parts).split())
+                        if blk.text:
+                            blocks.append(blk)
+                    if merge_depth:
+                        merge_depth -= 1
+                elif merge_depth > 0 and f & _F_CELLSEP:
+                    # cell/row boundaries become whitespace in merged blocks
+                    if open_blocks:
+                        open_blocks[-1]._parts.append(" ")
+                elif f & _F_BLOCK and merge_depth == 0:
+                    if open_blocks and open_blocks[-1].tag == name:
+                        blk = open_blocks.pop()
+                        blk.text = " ".join("".join(blk._parts).split())
+                        if blk.text:
+                            blocks.append(blk)
                 continue
-            i = end + 3
-            continue
-        nxt = html[lt + 1] if lt + 1 < n else ""
-        if nxt in ("!", "?"):
-            end = find(">", lt + 2)
-            if end < 0:  # unterminated decl/PI: flushed as data at close()
-                _emit_data(p, html[lt:])
-                return
-            i = end + 1
-            continue
-        is_letter = "a" <= nxt <= "z" or "A" <= nxt <= "Z"
-        if nxt == "/" and not (
-            lt + 2 < n and ("a" <= html[lt + 2] <= "z" or "A" <= html[lt + 2] <= "Z")
-        ):
-            # '</' + non-name: html.parser consumes it as a bogus comment
-            # (up to and including the next '>'), emitting nothing; if no
-            # '>' follows, close() flushes the remainder as data
-            end = find(">", lt + 2)
-            if end < 0:
-                _emit_data(p, html[lt:])
-                return
-            i = end + 1
-            continue
-        if not is_letter and nxt != "/":
-            _emit_data(p, "<")  # recovery: bare '<' is text
-            i = lt + 1
-            continue
-        m = _TAG_RE.match(html, lt)
-        if not m:
-            if find(">", lt) < 0:
-                # incomplete tag at EOF: close() flushes it as data
-                _emit_data(p, html[lt:])
-                return
-            raise _FallbackToStdlib  # tag outside the well-formed subset
-        end_g, name, attrs_s, slash = m.group("end", "name", "attrs", "slash")
-        name = name.lower()
-        i = m.end()
-        if end_g:
-            if attrs_s.strip() or slash:
-                raise _FallbackToStdlib  # junk inside an end tag
-            p.handle_endtag(name)
-            continue
-        attrs: list[tuple[str, str]] = []
-        if attrs_s and "class" in attrs_s.lower():
-            cm = _CLASS_RE.search(attrs_s)
-            if cm:
-                val = cm.group(2) or cm.group(3) or cm.group(4) or ""
-                attrs = [("class", unescape(val) if "&" in val else val)]
-        p.handle_starttag(name, attrs)
-        if slash:
-            p.handle_endtag(name)
-        elif name in CDATA_CONTENT_TAGS:
-            # CDATA mode: raw content until the strict matching close tag
-            cm2 = _SKIP_CLOSE_RES[name].search(html, i)
-            if cm2 is None:
-                return  # unclosed script/style swallows the rest (skip mode)
-            p.handle_endtag(name)
-            i = cm2.end()
+            lt = find("<", i)
+            if lt != i:
+                s = html[i:] if lt < 0 else html[i:lt]
+                if s and skip_depth == 0 and open_blocks:
+                    if "&" in s:
+                        s = unescape(s)
+                    blk = open_blocks[-1]
+                    blk._parts.append(s)
+                    if anchor_depth > 0:
+                        blk.link_chars += len(" ".join(s.split()))
+                if lt < 0:
+                    break
+            if html.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                if end < 0:
+                    # invalid/unterminated comment ('<!-->', '<!--->', or
+                    # EOF): stdlib close() emits through the next '>' as
+                    # data and resumes; no '>' at all flushes the remainder
+                    g = find(">", lt + 1)
+                    s = html[lt:] if g < 0 else html[lt : g + 1]
+                    if s and skip_depth == 0 and open_blocks:
+                        if "&" in s:
+                            s = unescape(s)
+                        blk = open_blocks[-1]
+                        blk._parts.append(s)
+                        if anchor_depth > 0:
+                            blk.link_chars += len(" ".join(s.split()))
+                    if g < 0:
+                        break
+                    i = g + 1
+                    continue
+                i = end + 3
+                continue
+            nxt = html[lt + 1] if lt + 1 < n else ""
+            if nxt in ("!", "?"):
+                end = find(">", lt + 2)
+                if end < 0:  # unterminated decl/PI: flushed as data
+                    s = html[lt:]
+                    if s and skip_depth == 0 and open_blocks:
+                        if "&" in s:
+                            s = unescape(s)
+                        blk = open_blocks[-1]
+                        blk._parts.append(s)
+                        if anchor_depth > 0:
+                            blk.link_chars += len(" ".join(s.split()))
+                    break
+                i = end + 1
+                continue
+            is_letter = "a" <= nxt <= "z" or "A" <= nxt <= "Z"
+            if nxt == "/" and not (
+                lt + 2 < n
+                and ("a" <= html[lt + 2] <= "z" or "A" <= html[lt + 2] <= "Z")
+            ):
+                # '</' + non-name: html.parser consumes it as a bogus
+                # comment (up to and including the next '>'), emitting
+                # nothing; if no '>' follows, close() flushes the remainder
+                end = find(">", lt + 2)
+                if end < 0:
+                    s = html[lt:]
+                    if s and skip_depth == 0 and open_blocks:
+                        if "&" in s:
+                            s = unescape(s)
+                        blk = open_blocks[-1]
+                        blk._parts.append(s)
+                        if anchor_depth > 0:
+                            blk.link_chars += len(" ".join(s.split()))
+                    break
+                i = end + 1
+                continue
+            if not is_letter and nxt != "/":
+                # recovery: bare '<' is text
+                if skip_depth == 0 and open_blocks:
+                    blk = open_blocks[-1]
+                    blk._parts.append("<")
+                    if anchor_depth > 0:
+                        blk.link_chars += 1  # len(" ".join("<".split()))
+                i = lt + 1
+                continue
+            m = tag_match(html, lt)
+            if not m:
+                if find(">", lt) < 0:
+                    # incomplete tag at EOF: close() flushes it as data
+                    s = html[lt:]
+                    if s and skip_depth == 0 and open_blocks:
+                        if "&" in s:
+                            s = unescape(s)
+                        blk = open_blocks[-1]
+                        blk._parts.append(s)
+                        if anchor_depth > 0:
+                            blk.link_chars += len(" ".join(s.split()))
+                    break
+                raise _FallbackToStdlib  # tag outside the well-formed subset
+            end_g, name, attrs_s, slash = m.group("end", "name", "attrs", "slash")
+            name = name.lower()
+            i = m.end()
+            if end_g:
+                if attrs_s.strip() or slash:
+                    raise _FallbackToStdlib  # junk inside an end tag
+                pend = name
+                continue
+            f = flags.get(name, 0)
+            if f & _F_SKIP:
+                skip_depth += 1
+            else:
+                is_bp = bool(f & _F_BP)
+                if not is_bp and attrs_s and "class" in attrs_s.lower():
+                    cm = class_search(attrs_s)
+                    if cm:
+                        val = cm.group(2) or cm.group(3) or cm.group(4) or ""
+                        if "&" in val:
+                            val = unescape(val)
+                        is_bp = not hints.isdisjoint(val.lower().split())
+                if not f & _F_VOID:
+                    elem_stack.append((name, is_bp))
+                    if is_bp:
+                        bp_depth += 1
+                if f & (_F_ANCHOR | _F_MERGE | _F_BLOCK):
+                    if f & _F_ANCHOR:
+                        anchor_depth += 1
+                    elif f & _F_MERGE:
+                        merge_depth += 1
+                        if merge_depth == 1:
+                            open_blocks.append(
+                                Block(tag=name, boilerplate_ancestor=bp_depth > 0)
+                            )
+                    elif merge_depth == 0:
+                        open_blocks.append(
+                            Block(tag=name, boilerplate_ancestor=bp_depth > 0)
+                        )
+            if slash:
+                pend = name
+            elif name in CDATA_CONTENT_TAGS:
+                # CDATA mode: raw content until the strict matching close
+                cm2 = _SKIP_CLOSE_RES[name].search(html, i)
+                if cm2 is None:
+                    break  # unclosed script/style swallows the rest
+                pend = name
+                i = cm2.end()
+    except _FallbackToStdlib:
+        raise
+    except Exception:  # defensive: degrade to blocks recovered so far (S3)
+        pass
+    while open_blocks:  # flush unclosed blocks (malformed html)
+        blk = open_blocks.pop()
+        blk.text = " ".join("".join(blk._parts).split())
+        if blk.text:
+            blocks.append(blk)
+    return blocks
 
 
 def parse_blocks(html: str) -> list[Block]:
@@ -329,16 +468,10 @@ def parse_blocks(html: str) -> list[Block]:
     fast tokenizer's well-formed subset re-parses through stdlib."""
     if _USE_SLOW_PARSER:
         return parse_blocks_stdlib(html)
-    p = _BlockParser()
     try:
-        _fast_feed(p, html)
+        return _fast_parse(html)
     except _FallbackToStdlib:
         return parse_blocks_stdlib(html)
-    except Exception:
-        pass
-    while p._open:  # flush unclosed blocks (malformed html)
-        p._end_block()
-    return p.blocks
 
 
 def parse_blocks_stdlib(html: str) -> list[Block]:
