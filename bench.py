@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "inverted_index",
     "tfidf_top_terms",
+    "pii_redact",
 ]
 
 

@@ -284,3 +284,17 @@ def test_components_edges_plan_is_equi_join(spark):
     _register_views(spark, SF_DIR)
     plan = plan_of(spark.sql(build_verified_pairs(SPARK_D)))
     assert "CartesianProduct" not in plan
+
+
+def test_pii_redact_is_shuffle_free_pruned_map(spark):
+    """PII redaction is a single projection: zero exchanges, no window, no
+    join, and the scan reads only (doc_id, text) — at 100 TB it is a pure
+    map over the parquet scan, limited by I/O alone."""
+    from usls_doc_spark.queries import build_registry
+
+    qs, _ = build_registry()
+    plan = plan_of(qs["pii_redact"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Window" not in plan and "Join" not in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read and "text" in read and "lang" not in read

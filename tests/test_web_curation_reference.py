@@ -254,3 +254,50 @@ def test_tfidf_top_terms_vs_counter(spark, registry, docs_rows):
             r = rows[rnk - 1]
             assert (r["term"], r["tf"], r["rnk"]) == (term, tf, rnk), doc_id
             assert r["df"] == df_map[term] and r["score"] == score
+
+
+def test_pii_redact_vs_stdlib_re(spark, registry, docs_rows):
+    """Independent oracle: python `re` over independently re-synthesized
+    PII text — the augmentation algebra and the redaction semantics are
+    restated here from the documented spec, sharing no code with the
+    two-dialect template."""
+    import re
+
+    email_re = re.compile(r"[A-Za-z0-9._+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+")
+    phone_re = re.compile(r"(\+1 [0-9]{3} )?555[- ][0-9]{4}")
+    ip_re = re.compile(r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}")
+
+    expected = {}
+    for doc_id, text, _lang in docs_rows:
+        pii = (
+            f"{text} Contact user.{doc_id}@mail-example.org or "
+            f"admin-{doc_id}@corp.example.net, call 555-{doc_id % 10000:04d}"
+            f" or +1 212 555 0199, host 10.{doc_id % 256}.{doc_id * 7 % 256}.7 now."
+        )
+        red = email_re.sub("<EMAIL>", pii)
+        red = phone_re.sub("<PHONE>", red)
+        red = ip_re.sub("<IP>", red)
+        n_res = len(email_re.findall(red)) + len(phone_re.findall(red)) + len(
+            ip_re.findall(red)
+        )
+        expected[doc_id] = (
+            len(email_re.findall(pii)),
+            len(phone_re.findall(pii)),
+            len(ip_re.findall(pii)),
+            n_res,
+            red,
+        )
+
+    got = registry["pii_redact"](spark, SF_DIR).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        e = expected[r["doc_id"]]
+        assert (
+            r["n_emails"],
+            r["n_phones"],
+            r["n_ips"],
+            r["n_residual"],
+            r["redacted_text"],
+        ) == e, f"doc {r['doc_id']}"
+    # the synthetic PII is actually present and actually scrubbed
+    assert all(e[0] == 2 and e[1] == 2 and e[2] == 1 and e[3] == 0 for e in expected.values())

@@ -150,6 +150,15 @@ class Dialect:
             return f"regexp_count({s}, {pattern})"
         return f"len(regexp_extract_all({s}, {pattern}))"
 
+    def regexp_replace_all(self, s: str, pattern: str, replacement: str) -> str:
+        """Replace EVERY match. Spark's regexp_replace is global by default;
+        DuckDB replaces only the first match unless given the 'g' option.
+        Shared patterns must stay backslash-free (Spark string literals
+        process C-escapes, DuckDB's don't) — spell classes as [0-9], [.]."""
+        if self.name == "spark":
+            return f"regexp_replace({s}, {pattern}, {replacement})"
+        return f"regexp_replace({s}, {pattern}, {replacement}, 'g')"
+
     def time_bucket(self, ts: str, seconds: int) -> str:
         if self.name == "spark":
             return f"timestamp_seconds(floor(unix_timestamp({ts}) / {seconds}) * {seconds})"

@@ -438,6 +438,78 @@ WHERE rnk <= {TOP_TERMS_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Backslash-free, dialect-portable patterns (Java regex on the Spark side,
+# RE2 in DuckDB — identical leftmost-greedy semantics for plain classes,
+# quantifiers and optional groups; no backrefs/lookarounds anywhere).
+PII_EMAIL_RE = "'[A-Za-z0-9._+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+'"
+PII_PHONE_RE = "'([+]1 [0-9]{3} )?555[- ][0-9]{4}'"
+PII_IPV4_RE = "'[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}'"
+
+
+def q_pii_redact(d: Dialect) -> str:
+    """PII scrub — the redaction pass every released web corpus runs
+    (emails, phone numbers, IP addresses -> typed mask tokens).
+
+    The synthetic corpus carries no organic PII, so the query first
+    AUGMENTS each document with deterministic doc_id-derived PII (two
+    emails, two phone spellings, one IPv4 — identical string algebra in
+    both dialects), then redacts category-by-category (emails first:
+    their digit runs must not be half-eaten by the phone pass) and
+    reports per-category match counts plus a residual count over the
+    redacted text (0 = nothing survived).
+
+    Scale: a single projection — zero shuffles, zero joins, whole-stage
+    codegen end-to-end (plan-asserted in tests/test_plan_quality.py).
+    At 100 TB this is a pure map over the scan, limited by I/O alone.
+    """
+    did = d.str_cast("doc_id")
+    phone4 = f"lpad({d.str_cast('doc_id % 10000')}, 4, '0')"
+    oct_a = d.str_cast("doc_id % 256")
+    oct_b = d.str_cast("(doc_id * 7) % 256")
+    augmented = (
+        f"text || ' Contact user.' || {did} || '@mail-example.org"
+        f" or admin-' || {did} || '@corp.example.net, call 555-' || {phone4}"
+        f" || ' or +1 212 555 0199, host 10.' || {oct_a} || '.' || {oct_b}"
+        f" || '.7 now.'"
+    )
+    redacted = d.regexp_replace_all(
+        d.regexp_replace_all(
+            d.regexp_replace_all("pii_text", PII_EMAIL_RE, "'<EMAIL>'"),
+            PII_PHONE_RE,
+            "'<PHONE>'",
+        ),
+        PII_IPV4_RE,
+        "'<IP>'",
+    )
+    residual = (
+        f"{d.regexp_count('redacted_text', PII_EMAIL_RE)}"
+        f" + {d.regexp_count('redacted_text', PII_PHONE_RE)}"
+        f" + {d.regexp_count('redacted_text', PII_IPV4_RE)}"
+    )
+    return f"""
+WITH pii AS (
+  SELECT doc_id, {augmented} AS pii_text
+  FROM documents
+),
+red AS (
+  SELECT doc_id,
+         {d.regexp_count("pii_text", PII_EMAIL_RE)} AS n_emails,
+         {d.regexp_count("pii_text", PII_PHONE_RE)} AS n_phones,
+         {d.regexp_count("pii_text", PII_IPV4_RE)} AS n_ips,
+         {redacted} AS redacted_text
+  FROM pii
+)
+SELECT doc_id, n_emails, n_phones, n_ips,
+       {residual} AS n_residual,
+       redacted_text
+FROM red
+"""
+
+
 WEB_QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_canonicalize_agg": q_url_canonicalize_agg,
@@ -445,4 +517,5 @@ WEB_QUERIES = {
     "stratified_sample": q_stratified_sample,
     "inverted_index": q_inverted_index,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "pii_redact": q_pii_redact,
 }
