@@ -274,3 +274,68 @@ def test_nonascii_whitespace_and_lt_in_tags_fall_back():
         fast = [_block_key(b) for b in parse_blocks(html)]
         slow = [_block_key(b) for b in parse_blocks_stdlib(html)]
         assert fast == slow, html
+
+
+def test_classify_blocks_vectorized_ab():
+    """A/B bitwise identity: the vectorized classify_blocks must return
+    exactly the classes and float32 confidences of per-block
+    classify_block — on every real corpus block and on adversarial
+    synthetic blocks covering all branch boundaries."""
+    import duckdb
+    import numpy as np
+
+    from usls_doc_spark.io.synth import synth_page
+    from usls_doc_spark.kernels.boilerplate import (
+        Block,
+        classify_block,
+        classify_blocks,
+        parse_blocks,
+    )
+
+    def ab(blocks):
+        classes, conf = classify_blocks(blocks)
+        assert conf.dtype == np.float32
+        for i, blk in enumerate(blocks):
+            c_ref, conf_ref = classify_block(blk)
+            assert classes[i] == c_ref
+            assert np.float32(conf_ref).view(np.uint32) == conf[i].view(
+                np.uint32
+            ), f"block {i}: {conf_ref} vs {conf[i]}"
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text, lang FROM '/root/testdata/sf0.001/documents.parquet'"
+        " ORDER BY doc_id"
+    ).fetchall()
+    total = 0
+    for doc_id, text, lang in rows:
+        blocks = parse_blocks(synth_page(doc_id, text, lang)["html"].decode())
+        ab(blocks)
+        total += len(blocks)
+    assert total > 500
+
+    # adversarial: every branch + boundary values (chars 2000/2001,
+    # ld exactly 0.5 and above, ld clamp at 1.0, zero chars)
+    rng = np.random.default_rng(5)
+    tags = ["p", "h1", "h2", "h6", "table", "caption", "figcaption", "li", "pre"]
+    adv = []
+    for t in tags:
+        for bp_flag in (False, True):
+            for chars, link in (
+                (0, 0), (1, 1), (10, 5), (10, 6), (2, 1), (1999, 1999),
+                (2000, 0), (2001, 0), (2001, 2001), (280, 140), (281, 0),
+                (4, 8),  # link_chars > n_chars -> ld clamps at 1.0
+            ):
+                b = Block(tag=t, boilerplate_ancestor=bp_flag)
+                b.text = "x" * chars
+                b.link_chars = link
+                adv.append(b)
+    for _ in range(200):
+        b = Block(
+            tag=tags[int(rng.integers(0, len(tags)))],
+            boilerplate_ancestor=bool(rng.integers(0, 2)),
+        )
+        b.text = "x" * int(rng.integers(0, 3000))
+        b.link_chars = int(rng.integers(0, 3000))
+        adv.append(b)
+    ab(adv)
+    ab([])

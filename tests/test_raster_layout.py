@@ -66,3 +66,65 @@ def test_nms_collapses_duplicate_anchors_to_first():
     rows = detect_layout(4, text)
     assert len(rows) == 1  # ...one kept box
     assert rows[0][7] == fg_anchors[0]  # id_born = first anchor
+
+
+def test_flow_layout_fast_path_ab():
+    """A/B: the vectorized single-column flow must be bitwise-identical to
+    the sequential loop (forced by a two_col=False / col_set-empty walk of
+    the same reference algorithm) on real corpus pages and fuzz blocks."""
+    import duckdb
+    import numpy as np
+
+    from usls_doc_spark.io.synth import synth_page
+    from usls_doc_spark.kernels import boilerplate as bp
+    from usls_doc_spark.kernels.stub_layout import (
+        BLOCK_GAP,
+        CHAR_W,
+        CONTENT_W,
+        LINE_H,
+        MARGIN,
+        PAGE_W,
+        _block_box,
+        flow_layout,
+    )
+
+    def reference_single_col(blocks):
+        n = len(blocks)
+        boxes = np.zeros((n, 4), dtype=np.float32)
+        y = MARGIN
+        for i, blk in enumerate(blocks):
+            bx, by, bw, bh = _block_box(blk.n_chars, MARGIN, y, CONTENT_W)
+            y = by + bh + BLOCK_GAP
+            boxes[i] = (bx, by, bw, bh)
+        page_h = max(y - BLOCK_GAP + MARGIN, MARGIN * 2 + LINE_H)
+        return boxes, int(page_h), PAGE_W
+
+    def ab(blocks, classes):
+        got_b, got_h, got_w = flow_layout(blocks, classes, two_col=False)
+        ref_b, ref_h, ref_w = reference_single_col(blocks)
+        assert (got_h, got_w) == (ref_h, ref_w)
+        assert got_b.dtype == ref_b.dtype
+        assert got_b.tobytes() == ref_b.tobytes()
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text, lang FROM '/root/testdata/sf0.001/documents.parquet'"
+        " ORDER BY doc_id"
+    ).fetchall()
+    for doc_id, text, lang in rows:
+        blocks = bp.parse_blocks(synth_page(doc_id, text, lang)["html"].decode())
+        classes, _ = bp.classify_blocks(blocks)
+        ab(blocks, classes)
+
+    rng = np.random.default_rng(9)
+    # small pages (loop path), threshold straddle (255/256/257), and
+    # skew-page sizes (vector path)
+    for m in [0, 1, 2, 255, 256, 257, 600, 2400] + [
+        int(rng.integers(0, 60)) for _ in range(20)
+    ]:
+        blocks = []
+        for _j in range(m):
+            b = bp.Block(tag="p")
+            b.text = "x" * int(rng.integers(0, 4000))
+            blocks.append(b)
+        ab(blocks, ["plain text"] * m)
+    ab([], [])

@@ -535,6 +535,84 @@ def classify_block(blk: Block) -> tuple[str, float]:
     return "plain text", float(_F060 + _F035 * size)
 
 
+_F055 = np.float32(0.55)
+_F080 = np.float32(0.80)
+_F085 = np.float32(0.85)
+_F090 = np.float32(0.90)
+_F095 = np.float32(0.95)
+_TAG_CLASS_CONF = {
+    "h1": ("title", _F095),
+    "h2": ("title", _F090),
+    "h3": ("title", _F090),
+    "h4": ("title", _F090),
+    "h5": ("title", _F090),
+    "h6": ("title", _F090),
+    "table": ("table", _F085),
+    "caption": ("table_caption", _F080),
+    "figcaption": ("figure_caption", _F080),
+}
+
+
+def classify_blocks(blocks: list[Block]) -> tuple[list[str], np.ndarray]:
+    """Vectorized classify_block over a whole page.
+
+    EXACTLY the same classes and float32 confidences as calling
+    classify_block per block (A/B-proven bitwise in
+    tests/test_boilerplate_parser.py::test_classify_blocks_vectorized_ab):
+    every elementwise float32 op here mirrors the scalar op sequence, and
+    f32→f64→min(·,1.0)→f32 round-trips the link-density clamp exactly.
+    This is the hot-path form (the stub model classifies ~50 blocks per
+    page per document); the scalar classify_block stays as the reference
+    and for one-off call sites.
+    """
+    n = len(blocks)
+    if n == 0:
+        return [], np.empty(0, dtype=np.float32)
+    if n < 256:
+        # typical pages: the scalar loop beats the vector form — array
+        # construction is the dominant cost at tens of blocks in this
+        # environment (fresh-allocation gotcha, CLAUDE.md); the vector
+        # path pays off on multi-thousand-block skew pages
+        out_c = []
+        out_conf = np.empty(n, dtype=np.float32)
+        for i, blk in enumerate(blocks):
+            c, cf = classify_block(blk)
+            out_c.append(c)
+            out_conf[i] = cf
+        return out_c, out_conf
+    link = np.fromiter((b.link_chars for b in blocks), dtype=np.int64, count=n)
+    chars = np.fromiter((b.n_chars for b in blocks), dtype=np.int64, count=n)
+    bp = np.fromiter((b.boilerplate_ancestor for b in blocks), dtype=bool, count=n)
+    # scalar path: ld = f32(min(float(f32(link)/f32(max(chars,1))), 1.0))
+    ld = link.astype(np.float32) / np.maximum(chars, 1).astype(np.float32)
+    ld = np.minimum(ld.astype(np.float64), 1.0).astype(np.float32)
+
+    conf = _F060 + _F035 * (np.minimum(chars, 280).astype(np.float32) / _F280)
+    classes = ["plain text"] * n
+    decided = np.zeros(n, dtype=bool)
+
+    big = bp & (chars > 2000)
+    conf[big] = _F055
+    small_bp = bp & ~big
+    conf[small_bp] = (_F041 + _F008 * ld)[small_bp]
+    for i in np.nonzero(bp)[0]:
+        classes[i] = "abandon"
+    decided |= bp
+
+    high_ld = ~decided & (ld > LINK_DENSITY_ABANDON)
+    conf[high_ld] = (_F030 + _F009 * ld)[high_ld]
+    for i in np.nonzero(high_ld)[0]:
+        classes[i] = "abandon"
+    decided |= high_ld
+
+    get = _TAG_CLASS_CONF.get
+    for i in np.nonzero(~decided)[0]:
+        hit = get(blocks[i].tag)
+        if hit is not None:
+            classes[i], conf[i] = hit
+    return classes, conf
+
+
 # classes whose text participates in the extracted main content, in the
 # spirit of the reference's downstream mask consumer (docstructbench.rs:33):
 # abandon and pure-figure regions contribute no text.

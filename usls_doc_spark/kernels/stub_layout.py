@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .boilerplate import Block, classify_block
+from .boilerplate import Block, classify_blocks
 from .letterbox import LetterboxSpec, boxes_to_canvas, letterbox_spec
 from .yolo_decode import DOCSTRUCTBENCH_NAMES
 
@@ -65,6 +65,25 @@ def flow_layout(
     n_left = (len(body_idx) + 1) // 2
     left_set = set(body_idx[:n_left])
 
+    if not col_set and n >= 256:
+        # single-column VECTOR path for oversized (skew) pages only: the
+        # flow is a plain prefix sum — integer-exact, identical to the
+        # loop below (A/B-proven in test_raster_layout.py). Below the
+        # threshold the loop wins: fresh array construction dominates at
+        # tens of blocks in this environment (CLAUDE.md gotcha).
+        chars = np.fromiter((b.n_chars for b in blocks), dtype=np.int64, count=n)
+        nn = np.maximum(chars, 1)
+        cpl = max(1, CONTENT_W // CHAR_W)
+        h = (nn + cpl - 1) // cpl * LINE_H
+        step = h + BLOCK_GAP
+        boxes[:, 0] = MARGIN
+        boxes[:, 1] = MARGIN + np.concatenate(([0], np.cumsum(step)[:-1]))
+        boxes[:, 2] = np.minimum(nn, cpl) * CHAR_W
+        boxes[:, 3] = h
+        y_end = MARGIN + int(step.sum())
+        page_h = max(y_end - BLOCK_GAP + MARGIN, MARGIN * 2 + LINE_H)
+        return boxes, int(page_h), PAGE_W
+
     y = MARGIN
     col_y = {0: 0, 1: 0}
     col_started = False
@@ -104,12 +123,9 @@ class StubLayoutModel:
         Anchor rows 2*i and 2*i+1 belong to block i (dup for NMS exercise),
         so ``anchor_id // 2`` recovers the block index downstream.
         """
-        classes = []
-        confs = []
-        for blk in blocks:
-            c, conf = classify_block(blk)
-            classes.append(c)
-            confs.append(conf)
+        # vectorized page-at-a-time classify — bitwise-identical to the
+        # per-block classify_block (A/B test in test_boilerplate_parser.py)
+        classes, conf_arr = classify_blocks(blocks)
         boxes, page_h, page_w = flow_layout(blocks, classes, two_col)
         spec = letterbox_spec(page_h, page_w, CANVAS, CANVAS, center=False)
         n = len(blocks)
@@ -125,7 +141,6 @@ class StubLayoutModel:
             cid = np.fromiter(
                 (name_to_id[c] for c in classes), dtype=np.int64, count=n
             )
-            conf_arr = np.asarray(confs, dtype=np.float32)
             rows = np.zeros((n, 4 + n_cls), dtype=np.float32)
             rows[:, 0] = cx
             rows[:, 1] = cy
