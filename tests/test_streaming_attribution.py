@@ -154,3 +154,22 @@ def test_attribution_joins_across_micro_batches(spark, tmp_path_factory):
     # ...and the full drained result equals the batch join
     ok, msg = compare(got, con.sql(ATTRIBUTION_ORACLE))
     assert ok, msg
+
+
+def test_attribution_full_matches_batch_full_join(spark):
+    """FULL-OUTER drained stream == batch FULL JOIN, with BOTH null
+    directions present: unmatched views (NULL purchase columns) AND
+    unmatched purchases (NULL view columns — the 'conversion with no
+    attributable impression' rows)."""
+    from usls_doc_spark.streaming.attribution import (
+        ATTRIBUTION_FULL_ORACLE,
+        streaming_click_attribution_full,
+    )
+
+    got = streaming_click_attribution_full(spark, SF_DIR)
+    assert got.filter("purchase_id IS NULL").count() > 0
+    assert got.filter("view_id IS NULL").count() > 0
+    assert got.filter("user_id IS NULL").count() == 0  # coalesce covers both
+    con = duck_con(SF_DIR)
+    ok, msg = compare(got, con.sql(ATTRIBUTION_FULL_ORACLE))
+    assert ok, msg

