@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "inverted_index",
     "tfidf_top_terms",
     "pii_redact",
+    "host_graph_pagerank",
 ]
 
 

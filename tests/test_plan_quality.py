@@ -298,3 +298,16 @@ def test_pii_redact_is_shuffle_free_pruned_map(spark):
     assert "Window" not in plan and "Join" not in plan
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "doc_id" in read and "text" in read and "lang" not in read
+
+
+def test_host_graph_pagerank_aggregates_not_windows(spark):
+    """Each PR iteration must be equi-joins + a hash aggregate with
+    map-side partial combine on the hot dst key — never a window, never a
+    cartesian; integer SUMs keep it bit-exact at any partitioning."""
+    from usls_doc_spark.queries import build_registry
+
+    qs, _ = build_registry()
+    plan = plan_of(qs["host_graph_pagerank"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan or "partial_merge" in plan

@@ -67,6 +67,10 @@ class Dialect:
     def shiftright(self, x: str, n: int) -> str:
         return f"shiftright({x}, {n})" if self.name == "spark" else f"(({x}) >> {n})"
 
+    def intdiv(self, a: str, b: str) -> str:
+        """Exact integer division (both operands integral, result BIGINT)."""
+        return f"(({a}) DIV ({b}))" if self.name == "spark" else f"(({a}) // ({b}))"
+
     # --- array lambdas ----------------------------------------------------
     def array_transform(self, a: str, var: str, body: str) -> str:
         if self.name == "spark":

@@ -510,6 +510,90 @@ FROM red
 """
 
 
+# ---------------------------------------------------------------------------
+# Host-graph authority (integer-arithmetic PageRank)
+# ---------------------------------------------------------------------------
+
+PR_HOSTS = 20  # host-universe size of the synthetic link graph
+PR_SCALE = 1_000_000_000_000  # 1.0 of rank mass as an exact BIGINT
+PR_ITERS = 3
+
+
+def q_host_graph_pagerank(d: Dialect) -> str:
+    """Host-graph link authority — the crawl-frontier prioritization
+    score (which hosts to fetch first / budget more deeply).
+
+    PageRank restated in EXACT integer arithmetic so the result is fully
+    hash-oracled: every rank is a BIGINT in units of 1e-12 rank mass,
+    per-edge contribution = rank DIV out_degree (exact), damping =
+    (85 * inflow) DIV 100 + 0.15 * SCALE. Integer SUMs are associative
+    and order-independent, so Spark's unordered distributed aggregation
+    and DuckDB's single-node aggregation agree bit-for-bit — the float
+    formulation would not (SUM-of-doubles reassociation).
+
+    The link graph is synthesized deterministically from doc_id (the
+    corpus carries no hyperlinks): each document emits one edge
+    site[(doc_id/10) % H] -> site[(doc_id^2+3) % H], a multigraph whose
+    duplicate edges each carry contribution, like repeated links. The
+    quadratic-residue destination makes in-degree genuinely skewed (only
+    QR hosts receive links, unevenly) — hot-host inflow exercises the
+    map-side combine and spreads the authority spectrum.
+
+    Scale: per iteration ONE equi-join (edges x ranks on src — ranks is
+    the small side but NOT hinted: at 10^8 real hosts AQE should decide)
+    and ONE hash aggregate on dst with map-side partial combine (Zipf
+    in-degree heads collapse per mapper — an aggregation, never a
+    window). Iterations are unrolled; at web scale this is the standard
+    distributed PR step repeated, with the same shuffle shape each round.
+    """
+    idiv = d.intdiv
+    edges = (
+        f"SELECT {idiv('doc_id', '10')} % {PR_HOSTS} AS src,"
+        f" (doc_id * doc_id + 3) % {PR_HOSTS} AS dst FROM documents"
+    )
+    sql = f"""
+WITH edges AS (
+  {edges}
+),
+outdeg AS (
+  SELECT src, COUNT(*) AS od FROM edges GROUP BY src
+),
+nodes AS (
+  SELECT DISTINCT h FROM (
+    SELECT src AS h FROM edges UNION ALL SELECT dst AS h FROM edges
+  ) u
+),
+r0 AS (
+  SELECT h, CAST({PR_SCALE} AS BIGINT) AS rank FROM nodes
+)"""
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        contrib = idiv("r.rank", "o.od")
+        inflow = f"in{i}"
+        cur = f"r{i}"
+        sql += f""",
+{inflow} AS (
+  SELECT e.dst AS h, SUM({contrib}) AS inflow
+  FROM edges e
+  JOIN outdeg o ON e.src = o.src
+  JOIN {prev} r ON e.src = r.h
+  GROUP BY e.dst
+),
+{cur} AS (
+  SELECT n.h,
+         {150_000_000_000} + {idiv(f"85 * COALESCE(i.inflow, 0)", "100")} AS rank
+  FROM nodes n LEFT JOIN {inflow} i ON n.h = i.h
+)"""
+        prev = cur
+    sql += f"""
+SELECT 'site' || {d.str_cast("r.h")} AS host,
+       r.rank AS authority,
+       o.od AS out_links
+FROM {prev} r LEFT JOIN outdeg o ON r.h = o.src
+"""
+    return sql
+
+
 WEB_QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_canonicalize_agg": q_url_canonicalize_agg,
@@ -518,4 +602,5 @@ WEB_QUERIES = {
     "inverted_index": q_inverted_index,
     "tfidf_top_terms": q_tfidf_top_terms,
     "pii_redact": q_pii_redact,
+    "host_graph_pagerank": q_host_graph_pagerank,
 }
