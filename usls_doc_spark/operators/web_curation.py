@@ -533,7 +533,9 @@ def q_host_graph_pagerank(d: Dialect) -> str:
 
     The link graph is synthesized deterministically from doc_id (the
     corpus carries no hyperlinks): each document emits one edge
-    site[(doc_id/10) % H] -> site[(doc_id^2+3) % H], a multigraph whose
+    site[(doc_id/10) % H] -> site[((doc_id mod p)^2+3) % H] (p = 94906249,
+    the largest prime below sqrt(2^63), so the square never overflows
+    BIGINT at any corpus size), a multigraph whose
     duplicate edges each carry contribution, like repeated links. The
     quadratic-residue destination makes in-degree genuinely skewed (only
     QR hosts receive links, unevenly) — hot-host inflow exercises the
@@ -549,7 +551,10 @@ def q_host_graph_pagerank(d: Dialect) -> str:
     idiv = d.intdiv
     edges = (
         f"SELECT {idiv('doc_id', '10')} % {PR_HOSTS} AS src,"
-        f" (doc_id * doc_id + 3) % {PR_HOSTS} AS dst FROM documents"
+        # reduce mod a prime BEFORE squaring so the square stays < 2^63 even
+        # at 10^12-document scale (raw doc_id^2 would overflow BIGINT)
+        f" ((doc_id % 94906249) * (doc_id % 94906249) + 3) % {PR_HOSTS}"
+        f" AS dst FROM documents"
     )
     sql = f"""
 WITH edges AS (
