@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "pii_redact",
     "host_graph_pagerank",
+    "ngram_counts",
 ]
 
 

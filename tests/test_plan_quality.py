@@ -311,3 +311,18 @@ def test_host_graph_pagerank_aggregates_not_windows(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "partial_sum" in plan or "partial_merge" in plan
+
+
+def test_ngram_counts_global_topk_is_take_ordered(spark):
+    """The global bigram head must execute as TakeOrderedAndProject
+    (per-partition bounded heap), never a full sort or a window over the
+    unbounded vocabulary — the only Window sits above the LIMIT."""
+    from usls_doc_spark.queries import build_registry
+
+    qs, _ = build_registry()
+    plan = plan_of(qs["ngram_counts"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # map-side combine on the bigram agg
+    # the one Window is fed by the TakeOrdered (bounded 100 rows), which
+    # appears below it in the plan tree
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")

@@ -301,3 +301,21 @@ def test_pii_redact_vs_stdlib_re(spark, registry, docs_rows):
         ) == e, f"doc {r['doc_id']}"
     # the synthetic PII is actually present and actually scrubbed
     assert all(e[0] == 2 and e[1] == 2 and e[2] == 1 and e[3] == 0 for e in expected.values())
+
+
+def test_ngram_counts_vs_counter(spark, registry, docs_rows):
+    """Independent oracle: collections.Counter over python-split bigrams,
+    with the same (count desc, bigram asc) deterministic head."""
+    from usls_doc_spark.operators.web_curation import NGRAM_TOP_K
+
+    c = Counter()
+    for _doc_id, text, _lang in docs_rows:
+        ws = text.split(" ")
+        if len(ws) >= 2:
+            c.update(" ".join(ws[i : i + 2]) for i in range(len(ws) - 1))
+    expected = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:NGRAM_TOP_K]
+
+    got = registry["ngram_counts"](spark, SF_DIR).orderBy("rnk").collect()
+    assert len(got) == min(NGRAM_TOP_K, len(expected))
+    for rank, (r, (gram, cnt)) in enumerate(zip(got, expected), start=1):
+        assert (r["gram"], r["cnt"], r["rnk"]) == (gram, cnt, rank)

@@ -599,6 +599,53 @@ FROM {prev} r LEFT JOIN outdeg o ON r.h = o.src
     return sql
 
 
+# ---------------------------------------------------------------------------
+# Corpus n-gram statistics
+# ---------------------------------------------------------------------------
+
+NGRAM_TOP_K = 100
+
+
+def q_ngram_counts(d: Dialect) -> str:
+    """Corpus-wide bigram frequency head — the count table an n-gram LM /
+    tokenizer-training / contamination-screening pass builds first: the
+    NGRAM_TOP_K (100) most frequent word bigrams with exact counts, ranked
+    (ties broken by bigram ascending so the cutoff is deterministic).
+
+    Scale shape: explode sliding 2-word shingles (docs with < 2 words
+    contribute nothing), ONE hash aggregate on the bigram key with
+    map-side partial combine (hot bigrams — "of the" — collapse per
+    mapper), then a global top-k via ORDER BY ... LIMIT: Spark executes
+    this as TakeOrderedAndProject (per-partition bounded heap + driver
+    merge of K rows — plan-asserted), NEVER a global sort or a window
+    over the full vocabulary. The rank is a row_number window over the
+    ALREADY-LIMITED NGRAM_TOP_K rows — bounded input by construction."""
+    w = d.split("text")
+    grams = d.shingles("ws", 2)
+    return f"""
+WITH bigrams AS (
+  SELECT gram
+  FROM (
+    SELECT {grams} AS gs
+    FROM (SELECT {w} AS ws FROM documents)
+    WHERE {d.array_len("ws")} >= 2
+  ) {d.explode("gs", "gram")}
+),
+counted AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+  FROM bigrams GROUP BY gram
+),
+head AS (
+  SELECT gram, cnt FROM counted
+  ORDER BY cnt DESC, gram
+  LIMIT {NGRAM_TOP_K}
+)
+SELECT gram, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS BIGINT) AS rnk
+FROM head
+"""
+
+
 WEB_QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_canonicalize_agg": q_url_canonicalize_agg,
@@ -608,4 +655,5 @@ WEB_QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "pii_redact": q_pii_redact,
     "host_graph_pagerank": q_host_graph_pagerank,
+    "ngram_counts": q_ngram_counts,
 }
