@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "pii_redact",
     "host_graph_pagerank",
     "ngram_counts",
+    "line_freq_filter",
+    "hll_distinct_chunks",
 ]
 
 

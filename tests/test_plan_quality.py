@@ -326,3 +326,40 @@ def test_ngram_counts_global_topk_is_take_ordered(spark):
     # the one Window is fed by the TakeOrdered (bounded 100 rows), which
     # appears below it in the plan tree
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_line_freq_filter_counts_are_hash_agg_not_window(spark):
+    """The C4-style corpus-frequency filter must count chunk frequencies
+    as a hash aggregate with MAP-SIDE PARTIAL combine (a corpus-wide
+    boilerplate chunk collapses to one row per mapper) and bring the keep
+    flag back via an equi-join — never a count(*) OVER window on the
+    chunk hash (one hot chunk = one window task, the shuffle shape AQE
+    cannot split; skewed JOINS it can)."""
+    from usls_doc_spark.queries import build_registry
+
+    qs, _ = build_registry()
+    plan = plan_of(qs["line_freq_filter"](spark, SF_DIR))
+    assert "windowspecdefinition" not in plan and "row_number" not in plan
+    assert "partial_count" in plan  # map-side combine on md5(chunk)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the frequency side prunes to text alone (doc_id never reaches it)
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert any("text" in r and "doc_id" not in r for r in reads)
+    assert all("lang" not in r for r in reads)
+
+
+def test_hll_sketch_is_bounded_aggregates_only(spark):
+    """The HLL register build must be pure hash aggregation: partial max
+    per (lang, bucket) map-side (sketch state is langs x 32 rows total,
+    independent of corpus size), no window, no join anywhere; the scan
+    prunes to (text, lang)."""
+    from usls_doc_spark.queries import build_registry
+
+    qs, _ = build_registry()
+    plan = plan_of(qs["hll_distinct_chunks"](spark, SF_DIR))
+    assert "windowspecdefinition" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "partial_max" in plan  # register combine before the shuffle
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read and "lang" in read and "doc_id" not in read

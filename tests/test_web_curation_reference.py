@@ -319,3 +319,81 @@ def test_ngram_counts_vs_counter(spark, registry, docs_rows):
     assert len(got) == min(NGRAM_TOP_K, len(expected))
     for rank, (r, (gram, cnt)) in enumerate(zip(got, expected), start=1):
         assert (r["gram"], r["cnt"], r["rnk"]) == (gram, cnt, rank)
+
+
+def test_line_freq_filter_vs_counter(spark, registry, docs_rows):
+    """Independent oracle: collections.Counter corpus frequencies + a
+    plain per-doc list comprehension — no code shared with the
+    two-dialect template."""
+    from usls_doc_spark.operators.web_curation import LINE_FREQ_CAP
+
+    def chunks_of(text):
+        ws = text.split(" ")
+        n_ch = max(math.ceil(len(ws) / PARA_WORDS), 1)
+        return [
+            " ".join(ws[i * PARA_WORDS : (i + 1) * PARA_WORDS]) for i in range(n_ch)
+        ]
+
+    freq = Counter()
+    for _doc_id, text, _lang in docs_rows:
+        freq.update(chunks_of(text))
+
+    got = {r["doc_id"]: r for r in registry["line_freq_filter"](spark, SF_DIR).collect()}
+    removed_somewhere = 0
+    for doc_id, text, _lang in docs_rows:
+        cs = chunks_of(text)
+        kept = [c for c in cs if freq[c] < LINE_FREQ_CAP]
+        r = got[doc_id]
+        assert r["n_chunks"] == len(cs)
+        assert r["n_kept"] == len(kept), doc_id
+        assert r["n_removed"] == len(cs) - len(kept), doc_id
+        assert r["max_chunk_freq"] == max(freq[c] for c in cs), doc_id
+        assert r["filtered_text"] == " ".join(kept), doc_id
+        removed_somewhere += len(cs) - len(kept)
+    # the corpus actually exercises the removal branch (chunks at or above
+    # the cap exist — otherwise this test proves nothing)
+    assert removed_somewhere > 0
+
+
+def test_hll_distinct_chunks_vs_hashlib(spark, registry, docs_rows):
+    """Independent oracle: the HLL sketch rebuilt with hashlib + plain
+    Python ints (bit_length for rho), plus the accuracy contract: the
+    estimate lands within 2x the theoretical standard error (1.04/sqrt(m))
+    of the true cardinality for every language."""
+    from usls_doc_spark.operators.web_curation import (
+        HLL_HASH_HEX,
+        HLL_M,
+        HLL_NUMER,
+        HLL_RHO_MAX,
+        HLL_SCALE_POW,
+    )
+
+    regs: dict[str, dict[int, int]] = {}
+    exact: dict[str, set[int]] = {}
+    for _doc_id, text, lang in docs_rows:
+        ws = text.split(" ")
+        n_ch = max(math.ceil(len(ws) / PARA_WORDS), 1)
+        for i in range(n_ch):
+            chunk = " ".join(ws[i * PARA_WORDS : (i + 1) * PARA_WORDS])
+            h = int(hashlib.md5(chunk.encode()).hexdigest()[: HLL_HASH_HEX], 16)
+            exact.setdefault(lang, set()).add(h)
+            bucket, w = h % HLL_M, h // HLL_M
+            rho = HLL_RHO_MAX - w.bit_length() if w else HLL_RHO_MAX
+            r = regs.setdefault(lang, {})
+            r[bucket] = max(r.get(bucket, 0), rho)
+
+    got = {r["lang"]: r for r in registry["hll_distinct_chunks"](spark, SF_DIR).collect()}
+    assert set(got) == set(regs)
+    for lang, r in regs.items():
+        sum_scaled = sum(
+            1 << (HLL_SCALE_POW - r.get(b, 0)) for b in range(HLL_M)
+        )
+        est = float(HLL_NUMER) / float(sum_scaled)
+        g = got[lang]
+        assert g["m"] == HLL_M
+        assert g["zero_registers"] == HLL_M - len(r), lang
+        assert g["sum_scaled"] == sum_scaled, lang
+        assert g["exact_distinct"] == len(exact[lang]), lang
+        assert g["hll_estimate"] == est, lang  # bit-identical IEEE division
+        # accuracy: within 2 standard errors of the raw-HLL estimator
+        assert abs(est / len(exact[lang]) - 1) <= 2 * 1.04 / math.sqrt(HLL_M), lang

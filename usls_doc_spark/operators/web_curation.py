@@ -600,6 +600,160 @@ FROM {prev} r LEFT JOIN outdeg o ON r.h = o.src
 
 
 # ---------------------------------------------------------------------------
+# Corpus-frequency line filter (C4-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+LINE_FREQ_CAP = 3  # chunks occurring >= this many times corpus-wide are cut
+
+
+def q_line_freq_filter(d: Dialect) -> str:
+    """Corpus-frequency line filter — the C4 rule ("we removed any line
+    that occurred more than once in the corpus" family, here thresholded
+    at LINE_FREQ_CAP): split each document into non-overlapping 16-word
+    chunks (standing in for lines, same chunking as paragraph_dedup),
+    count each chunk's CORPUS-WIDE frequency, and remove EVERY occurrence
+    of any chunk at or above the cap — unlike paragraph_dedup's keep-first
+    rule, boilerplate this common is dropped from all documents including
+    the first. Per document: chunk counts, the max chunk frequency seen
+    (a boilerplate-density signal), and the rebuilt filtered text in
+    original chunk order ('' when everything was boilerplate).
+
+    Scale shape: chunk frequencies are ONE hash aggregate on md5(chunk)
+    with map-side partial combine — a corpus-wide boilerplate chunk
+    ("all rights reserved ...") collapses to one row per mapper before
+    the shuffle; the keep flag returns via an equi-join on the chunk hash
+    (a skewed JOIN, which AQE can split — never a window, which it
+    cannot); re-assembly is ONE shuffle on doc_id with per-doc-bounded
+    state. Same zero-window discipline as the round-5 paragraph_dedup
+    rewrite."""
+    P = PARA_WORDS
+    w = d.split("text")
+    n_ch = f"greatest(CAST(ceil({d.array_len('ws')} / {P}.0) AS INT), 1)"
+    if d.name == "spark":
+        chunk_i = f"array_join(slice(ws, (idx - 1) * {P} + 1, {P}), ' ')"
+    else:
+        chunk_i = (
+            f"array_to_string(ws[(idx - 1) * {P} + 1 : (idx - 1) * {P} + {P}], ' ')"
+        )
+    kept = f"CASE WHEN freq < {LINE_FREQ_CAP} THEN 1 END"
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {w} AS ws FROM documents
+),
+chunked AS (
+  SELECT doc_id, idx, chunk, {d.md5("chunk")} AS h
+  FROM (
+    SELECT doc_id, idx, {chunk_i} AS chunk
+    FROM docs {d.explode(d.seq("1", n_ch), "idx")}
+  )
+),
+freqs AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS freq FROM chunked GROUP BY h
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count({kept}) AS BIGINT) AS n_kept,
+       CAST(count(*) - count({kept}) AS BIGINT) AS n_removed,
+       CAST(max(freq) AS BIGINT) AS max_chunk_freq,
+       COALESCE({d.ordered_string_agg("chunk", "idx", where=f"freq < {LINE_FREQ_CAP}")}, '')
+         AS filtered_text
+FROM chunked c JOIN freqs f ON c.h = f.h
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (deterministic integer registers)
+# ---------------------------------------------------------------------------
+
+HLL_M = 32  # registers (p = 5); relative error ~ 1.04/sqrt(m) ~ 18%
+HLL_HASH_HEX = 12  # 48-bit hash: 5 bucket bits + 43 rho-window bits
+HLL_RHO_MAX = HLL_HASH_HEX * 4 - 5 + 1  # all-zero window convention
+HLL_SCALE_POW = 50  # register M contributes 2^(50 - M), exact in BIGINT
+# alpha_32 * m^2 * 2^50 precomputed to ONE double literal so the estimate
+# is a single IEEE division over exact integer operands (bit-identical
+# across engines; alpha_32 = 0.697 per Flajolet et al. 2007)
+HLL_NUMER = repr(0.697 * HLL_M * HLL_M * float(1 << HLL_SCALE_POW))
+
+
+def q_hll_distinct_chunks(d: Dialect) -> str:
+    """Approximate distinct-paragraph count per language via a
+    HyperLogLog sketch restated in EXACT integer arithmetic — the
+    cardinality primitive a 100 TB curation run uses where an exact
+    COUNT(DISTINCT) would shuffle the full key set (unique-content volume
+    per language, dedup-rate monitoring, per-host URL cardinality).
+
+    Fully hash-oracled because every sketch ingredient is deterministic
+    integer math identical in both engines: 48-bit hash from the first 12
+    md5 hex chars, bucket = h mod 32, rho = leading zeros of the
+    remaining 43-bit window + 1 (via length(bin(w)) — both engines print
+    minimal binary), register = max(rho) per (lang, bucket). The
+    harmonic-mean denominator sum(2^-M_j) is scaled by 2^50 so it is an
+    exact BIGINT sum (max 32 * 2^50 = 2^55, associative, order-free
+    across any partitioning); absent buckets contribute 2^50 (register
+    0). The final estimate alpha_32 * m^2 / sum(2^-M_j) is ONE IEEE
+    division of a precomputed double literal by the exact BIGINT — both
+    engines round identically. exact_distinct rides along as the audit
+    column (the test asserts the sketch lands within the theoretical
+    error band); at 100 TB you drop it and keep only the sketch path.
+
+    Scale shape: the sketch is TWO bounded hash aggregates — (lang,
+    bucket) max(rho) with map-side combine (hot chunks collapse per
+    mapper; state is langs x 32 rows TOTAL regardless of corpus size),
+    then a per-lang rollup over <= 32 rows. Registers merge by max, so
+    the sketch is mergeable across partitions/days/shards for free —
+    the property that makes it the monitoring primitive. The exact
+    column alone carries the count(DISTINCT) shuffle."""
+    P = PARA_WORDS
+    M, RMAX, SPOW = HLL_M, HLL_RHO_MAX, HLL_SCALE_POW
+    w = d.split("text")
+    n_ch = f"greatest(CAST(ceil({d.array_len('ws')} / {P}.0) AS INT), 1)"
+    if d.name == "spark":
+        chunk_i = f"array_join(slice(ws, (idx - 1) * {P} + 1, {P}), ' ')"
+    else:
+        chunk_i = (
+            f"array_to_string(ws[(idx - 1) * {P} + 1 : (idx - 1) * {P} + {P}], ' ')"
+        )
+    hv = d.hex32_to_bigint(f"substr({d.md5('chunk')}, 1, {HLL_HASH_HEX})")
+    wv = d.intdiv("hv", str(M))
+    rho = f"CASE WHEN {wv} = 0 THEN {RMAX} ELSE {RMAX} - length(bin({wv})) END"
+    two50 = f"CAST({1 << SPOW} AS BIGINT)"
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lang, {w} AS ws FROM documents
+),
+hashed AS (
+  SELECT lang, {hv} AS hv
+  FROM (
+    SELECT lang, {chunk_i} AS chunk
+    FROM docs {d.explode(d.seq("1", n_ch), "idx")}
+  )
+),
+reg AS (
+  SELECT lang, hv % {M} AS bucket,
+         max({rho}) AS m_j,
+         count(DISTINCT hv) AS bucket_distinct
+  FROM hashed GROUP BY lang, hv % {M}
+),
+roll AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS present,
+         CAST(sum(CAST(power(2.0, {SPOW} - m_j) AS BIGINT)) AS BIGINT) AS s_present,
+         CAST(sum(bucket_distinct) AS BIGINT) AS exact_distinct
+  FROM reg GROUP BY lang
+)
+SELECT lang,
+       CAST({M} AS BIGINT) AS m,
+       CAST({M} - present AS BIGINT) AS zero_registers,
+       s_present + ({M} - present) * {two50} AS sum_scaled,
+       exact_distinct,
+       {HLL_NUMER} / CAST(s_present + ({M} - present) * {two50} AS DOUBLE)
+         AS hll_estimate
+FROM roll
+"""
+
+
+# ---------------------------------------------------------------------------
 # Corpus n-gram statistics
 # ---------------------------------------------------------------------------
 
@@ -656,4 +810,6 @@ WEB_QUERIES = {
     "pii_redact": q_pii_redact,
     "host_graph_pagerank": q_host_graph_pagerank,
     "ngram_counts": q_ngram_counts,
+    "line_freq_filter": q_line_freq_filter,
+    "hll_distinct_chunks": q_hll_distinct_chunks,
 }
