@@ -1,96 +1,202 @@
-"""Custom stateful streaming operator: cross-micro-batch sessionization via
-``applyInPandasWithState`` (the task-mandated custom-stateful-operator path;
-pyspark guide "Stateful" section).
+"""Custom stateful streaming operator #4: streaming sessionization via
+``applyInPandasWithState`` with EVENT-TIME TIMEOUT — the streaming
+analogue of the batch events_sessionize query (operators/relational.py
+SESSIONIZE_SQL: 30-minute-gap sessions per user), and the one stateful
+shape the repo's streaming matrix still lacked: state that is EVICTED by
+the watermark mid-stream (dedup uses NoTimeout-forever state; the
+interval joins evict join buffers, not user-defined state).
 
-State per user: (last event epoch-seconds, session count, event count). A
-new session opens when the gap to the previous event exceeds 30 minutes —
-the exact semantics of the batch SESSIONIZE_SQL (operators/relational.py),
-which is the correctness oracle: after the stream drains, the per-user
-final counts must equal the batch query's (asserted in
-tests/test_streaming_sessionize.py, including sessions spanning micro-batch
-boundaries, which only the STATE can stitch together).
+Semantics / determinism contract: per user the operator folds events in
+(ts, event_id) order, opening a new session when the gap to the previous
+event exceeds 30 minutes — exactly the batch window's lag() rule. State
+per user is one GENERATION: (gen_id = first event's epoch micros — globally
+unique because generations are time-disjoint, n_sessions, n_events,
+first/last epoch micros). When the watermark passes last_ts + 30 min AND
+the user has no data in the applying batch, the generation times out: a
+closed row is emitted and the state REMOVED — correct because any
+later-arriving event must carry ts > watermark > last_ts + 30 min (older
+rows are late and excluded before the operator), so it would have opened
+a new session anyway. If new data for the key arrives in the same batch
+instead, Spark suppresses the timeout and the SAME generation simply
+continues under the gap rule — identical integers either way, only the
+generation bookkeeping differs. The update-log fold is
+exact: within a generation every counter is monotone (max/min collapse
+the per-trigger updates); across generations sessions and events are
+disjoint sums. The drained fold therefore equals the batch answer at any
+micro-batch split that respects event-time order — the same ordering
+assumption as the attribution joins (round-4 ADVICE item 5), asserted
+loudly via numRowsDroppedByWatermark == 0.
+
+Scale shape: state per ACTIVE user is one fixed-width row, and event-time
+timeout bounds "active" to users seen within the last session-gap +
+watermark delay — the property that lets this run forever on an unbounded
+clickstream (NoTimeout sessionization would accrete every user ever
+seen). Sink discipline: update-mode foreachBatch parquet appends on the
+executors, zero-batch guarded; the fold is itself one distributed hash
+aggregate per level, both map-side combinable.
 """
 
 from __future__ import annotations
 
+import shutil
+import tempfile
+
 import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .events import EVENTS_SCHEMA
+from .attribution import EVENTS_SCHEMA, SENTINEL_USER, dropped_by_watermark
 
-GAP_SECONDS = 30 * 60
+SESSION_GAP_US = 30 * 60 * 1_000_000  # the batch query's 30-minute rule (micros)
 
-OUTPUT_SCHEMA = "user_id bigint, n_sessions bigint, n_events bigint"
-STATE_SCHEMA = "last_us bigint, n_sessions bigint, n_events bigint"
+OUT_SCHEMA = (
+    "user_id bigint, gen bigint, n_sessions bigint, n_events bigint, "
+    "first_us bigint, last_us bigint, closed int"
+)
+STATE_SCHEMA = "gen bigint, n_sessions bigint, n_events bigint, first_us bigint, last_us bigint"
+
+FINAL_SCHEMA = (
+    "user_id bigint, n_sessions bigint, n_events bigint, "
+    "first_ts timestamp, last_ts timestamp"
+)
+
+_QUERY_NAME = "usls_stream_sessionize"
 
 
 def _sessionize_group(key, pdfs, state: GroupState):
-    """Accumulate ALL Arrow chunks for the group, then sort ONCE by
-    (ts, event_id) before folding the state — a large group spanning
-    multiple chunks would otherwise interleave out-of-order timestamps and
-    inflate n_sessions vs the batch oracle (round-1 ADVICE).
-
-    In-order-arrival assumption ACROSS micro-batches: events with ts
-    earlier than the stored last_us (late data) are counted as new-session
-    starts, exactly like the batch oracle would if it only saw the prefix —
-    late data is not reordered retroactively (no retraction support)."""
-    last_us, n_sessions, n_events = state.get if state.exists else (None, 0, 0)
-    chunks = [pdf[["ts", "event_id"]] for pdf in pdfs]
-    ts_us: list[int] = []
-    if chunks:
-        batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-        batch = batch.sort_values(["ts", "event_id"])
-        ts_us = [int(t.value // 1000) for t in pd.to_datetime(batch["ts"])]
+    if state.hasTimedOut:
+        gen, n_sessions, n_events, first_us, last_us = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [(key[0], gen, n_sessions, n_events, first_us, last_us, 1)],
+            columns=["user_id", "gen", "n_sessions", "n_events",
+                     "first_us", "last_us", "closed"],
+        )
+        return
+    ev = pd.concat(list(pdfs), ignore_index=True)
+    if not len(ev):
+        return
+    ev = ev.sort_values(["ts", "event_id"], kind="mergesort")
+    ts_us = (ev["ts"].astype("int64") // 1_000).to_numpy()  # epoch micros: the source carries microsecond precision
+    if state.exists:
+        gen, n_sessions, n_events, first_us, last_us = state.get
+    else:
+        gen, n_sessions, n_events, first_us, last_us = (
+            int(ts_us[0]), 0, 0, int(ts_us[0]), None,
+        )
     for t in ts_us:
-        if last_us is None or (t - last_us) > GAP_SECONDS * 1_000_000:
+        t = int(t)
+        if last_us is None or t - last_us > SESSION_GAP_US:
             n_sessions += 1
-        n_events += 1
         last_us = t
-    state.update((last_us, n_sessions, n_events))
+    n_events += len(ts_us)
+    state.update((gen, n_sessions, n_events, first_us, last_us))
+    # evict once the watermark proves the session gap has lapsed; a
+    # timeout timestamp must sit strictly beyond the current watermark
+    # (Spark rejects earlier ones), so an already-lapsed session times
+    # out at the very next watermark tick
+    state.setTimeoutTimestamp(
+        max((last_us + SESSION_GAP_US + 999) // 1000,
+            state.getCurrentWatermarkMs() + 1)
+    )
     yield pd.DataFrame(
-        [(key[0], n_sessions, n_events)],
-        columns=["user_id", "n_sessions", "n_events"],
+        [(key[0], gen, n_sessions, n_events, first_us, last_us, 0)],
+        columns=["user_id", "gen", "n_sessions", "n_events",
+                 "first_us", "last_us", "closed"],
     )
 
 
-def streaming_sessionize(spark, events_dir: str, query_name: str, max_files: int = 1,
-                         sink_dir: str | None = None):
-    """Start the stateful sessionization stream over parquet event files.
-
-    Returns (StreamingQuery, sink_dir): update rows append to ``sink_dir``
-    parquet through foreachBatch ON THE EXECUTORS (no driver-memory sink —
-    per-user state is corpus-cardinality at scale; same discipline as
-    streaming/dedup.py). Fold the log with max() per user: counts are
-    monotone, so the latest update per key is the max.
-    """
-    import tempfile
-
+def start_streaming_sessionize(spark: SparkSession, events_dir: str,
+                               sink_dir: str, query_name: str = _QUERY_NAME,
+                               max_files: int | None = None,
+                               glob: str = "events.parquet"):
+    """Start the stateful sessionizer over parquet event files, appending
+    per-trigger generation updates to ``sink_dir`` (executor-side parquet,
+    no driver sink). Watermark-advancing sentinel rows (user_id < 0, used
+    by the eviction tests) flow THROUGH the stateful operator and are
+    filtered at fold time — filtering them pre-state would let Catalyst
+    push the filter below the EventTimeWatermark node, and the sentinels
+    would stop advancing event time (observed, not hypothetical: the
+    eviction test caught exactly that with a pre-state filter)."""
     for q in spark.streams.active:
         if q.name == query_name:
             q.stop()
-    if sink_dir is None:
-        sink_dir = tempfile.mkdtemp(prefix="usls_stream_sess_") + "/updates"
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(events_dir)
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option("pathGlobFilter", glob)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    events = (
+        reader.parquet(events_dir)
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "event_id", "ts")
     )
-    out = stream.groupBy("user_id").applyInPandasWithState(
+    out = events.groupBy("user_id").applyInPandasWithState(
         _sessionize_group,
-        outputStructType=OUTPUT_SCHEMA,
+        outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
-    def _append(batch_df, _batch_id):
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode("append").parquet(sink_dir)
 
-    q = (
+    return (
         out.writeStream.outputMode("update")
         .foreachBatch(_append)
         .queryName(query_name)
         .start()
     )
-    return q, sink_dir
+
+
+def fold_session_log(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Two-level exact fold of the generation update log: per (user, gen)
+    the counters are monotone across triggers (max/min collapse to the
+    final state); across generations sessions/events are disjoint (sum)
+    and first/last nest (min/max). Both levels are ordinary hash
+    aggregates with map-side combine."""
+    from .sink import read_sink_or_empty
+
+    updates = read_sink_or_empty(spark, sink_dir, OUT_SCHEMA).filter(
+        F.col("user_id") != SENTINEL_USER
+    )
+    per_gen = updates.groupBy("user_id", "gen").agg(
+        F.max("n_sessions").alias("n_sessions"),
+        F.max("n_events").alias("n_events"),
+        F.min("first_us").alias("first_us"),
+        F.max("last_us").alias("last_us"),
+    )
+    return per_gen.groupBy("user_id").agg(
+        F.sum("n_sessions").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.timestamp_micros(F.min("first_us")).alias("first_ts"),
+        F.timestamp_micros(F.max("last_us")).alias("last_ts"),
+    )
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the stream over the events table and fold the generation log
+    — exactly the batch events_sessionize answer (same SESSIONIZE_SQL
+    oracle). The driver path reads one events.parquet in a single
+    micro-batch (the ordering assumption holds trivially); open
+    generations at end-of-input are folded identically to closed ones, so
+    convergence does not depend on eviction having fired — eviction is
+    separately proven by the sentinel-driven test
+    (tests/test_streaming_sessionize.py)."""
+    import atexit
+
+    sink_dir = tempfile.mkdtemp(prefix="usls_stream_sess_")
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    atexit.register(shutil.rmtree, sink_dir, ignore_errors=True)
+    q = start_streaming_sessionize(spark, sf_dir, sink_dir)
+    try:
+        q.processAllAvailable()
+        dropped = dropped_by_watermark(q)
+    finally:
+        q.stop()
+    if dropped:
+        raise RuntimeError(
+            f"{dropped} late rows dropped by watermark — input files arrived "
+            "out of event-time order; the batch oracle no longer applies"
+        )
+    return fold_session_log(spark, sink_dir)
