@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "fingerprint_simhash",
     "fingerprint_rolling_hash",
     "lang_detect_stopwords",

@@ -67,6 +67,11 @@ class Dialect:
     def shiftright(self, x: str, n: int) -> str:
         return f"shiftright({x}, {n})" if self.name == "spark" else f"(({x}) >> {n})"
 
+    def bit_xor2(self, a: str, b: str) -> str:
+        """Bitwise XOR of two integers. Spark's ``^`` is XOR, but DuckDB's
+        ``^`` is POWER — the function spelling is mandatory there."""
+        return f"(({a}) ^ ({b}))" if self.name == "spark" else f"xor({a}, {b})"
+
     def intdiv(self, a: str, b: str) -> str:
         """Exact integer division (both operands integral, result BIGINT)."""
         return f"(({a}) DIV ({b}))" if self.name == "spark" else f"(({a}) // ({b}))"

@@ -341,6 +341,122 @@ LIMIT 20
 """
 
 
+SIMHASH_BANDS = 4  # 16 bits each -> 64-bit fingerprint
+SIMHASH_BAND_BITS = 16
+SIMHASH_HAM_MAX = 3  # near-dup rule: <= 3 differing bits of 64 (Manku et al.)
+SIMHASH_BAND_CAP = 64  # per-(band, value) membership cap (the skew bound)
+
+
+def q_dedup_simhash(d: Dialect) -> str:
+    """SimHash near-duplicate JOIN — the hamming-distance dedup family
+    member (fingerprint_simhash only EMITS fingerprints; this finds the
+    near-dup pairs): a 64-bit SimHash per document stored as four 16-bit
+    band values, banded candidate generation (pigeonhole: any pair within
+    hamming distance 3 of 64 bits agrees EXACTLY on at least one of the 4
+    bands), and exact hamming verification over the candidate set — the
+    Manku/Jarvelin/Sarlos WWW'07 web-dedup construction restated in
+    two-dialect SQL. The 64-bit width matters: a 16-bit fingerprint has
+    only 16 values per 4-bit band, so banding degenerates to a quadratic
+    self-join at any real corpus size; 16-bit bands give 65k buckets per
+    band.
+
+    Per-band hashes are four disjoint 4-hex slices of ONE md5 per word
+    (computed once, sliced four times); bit b of band k is set when the
+    +/-1 vote over word-hash bits is positive — all integer arithmetic,
+    exact in both engines. Hamming distance is the sum of per-band
+    bit_count(xor) — the full 64-bit fingerprint is never materialized,
+    so no BIGINT sign-bit edge cases.
+
+    Scale shape: signatures are one projection over the scan (no
+    shuffle); candidate buckets are ONE hash aggregate per (band, value)
+    with map-side-combinable collect + sorted slice to SIMHASH_BAND_CAP
+    members — a degenerate hot bucket (near-identical boilerplate
+    corpus) is capped BEFORE pair expansion, never a row_number window
+    (round-4 VERDICT discipline), and pair fan-out is bounded by cap^2/2
+    per bucket. Verification joins the capped pair set back to sigs on
+    doc_id equi-keys. Same recall tradeoff as the MinHash BAND_CAP,
+    documented there (_capped_bands): members beyond the cap lose that
+    bucket's pairs but remain candidates via their other 3 bands."""
+    w = _words(d)
+    wmd = d.array_transform("ws", "x", d.md5("x"))
+    wh_cols = ", ".join(
+        d.array_transform(
+            "wmd", "h", d.hex32_to_bigint(f"substr(h, {1 + 4 * k}, 4)")
+        )
+        + f" AS wh{k}"
+        for k in range(SIMHASH_BANDS)
+    )
+    sh_cols = []
+    for k in range(SIMHASH_BANDS):
+        bit_terms = []
+        for b in range(SIMHASH_BAND_BITS):
+            signed = d.array_transform(
+                f"wh{k}",
+                "h",
+                f"CASE WHEN ({d.shiftright('h', b)}) & 1 = 1 THEN 1 ELSE -1 END",
+            )
+            bit_terms.append(
+                f"(CASE WHEN {d.array_sum_bigint(signed)} > 0 THEN {1 << b} ELSE 0 END)"
+            )
+        sh_cols.append(" + ".join(bit_terms) + f" AS sh{k}")
+    sh_select = ",\n         ".join(sh_cols)
+    sh_array = "array(" + ", ".join(f"sh{k}" for k in range(SIMHASH_BANDS)) + ")"
+    if d.name == "spark":
+        bands = (
+            f"SELECT doc_id, band, band_key FROM sigs "
+            f"LATERAL VIEW posexplode({sh_array}) t AS band, band_key"
+        )
+        pairs_arr = (
+            "flatten(transform(members, x -> "
+            "transform(filter(members, y -> y > x), y -> array(x, y))))"
+        )
+    else:
+        bands = "\nUNION ALL\n".join(
+            f"SELECT doc_id, {k} AS band, sh{k} AS band_key FROM sigs"
+            for k in range(SIMHASH_BANDS)
+        )
+        pairs_arr = (
+            "flatten(list_transform(members, x -> "
+            "list_transform(list_filter(members, y -> y > x), y -> [x, y])))"
+        )
+    head = d.array_slice(d.sorted_list("doc_id"), 1, SIMHASH_BAND_CAP)
+    hamming = " + ".join(
+        f"bit_count({d.bit_xor2(f'a.sh{k}', f'b.sh{k}')})"
+        for k in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH wh AS (
+  SELECT doc_id, {wh_cols}
+  FROM (SELECT doc_id, {wmd} AS wmd
+        FROM (SELECT doc_id, {w} AS ws FROM documents))
+),
+sigs AS (
+  SELECT doc_id,
+         {sh_select}
+  FROM wh
+),
+bands AS (
+  {bands}
+),
+heads AS (
+  SELECT band, band_key, {head} AS members
+  FROM bands GROUP BY band, band_key
+),
+cand AS (
+  SELECT {d.element("pr", "1")} AS doc_a, {d.element("pr", "2")} AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared_bands
+  FROM (SELECT {pairs_arr} AS prs FROM heads) h {d.explode("prs", "pr")}
+  GROUP BY {d.element("pr", "1")}, {d.element("pr", "2")}
+)
+SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+       CAST({hamming} AS BIGINT) AS hamming
+FROM cand c
+JOIN sigs a ON a.doc_id = c.doc_a
+JOIN sigs b ON b.doc_id = c.doc_b
+WHERE {hamming} <= {SIMHASH_HAM_MAX}
+"""
+
+
 def _lsh_jaccard_ctes(d: Dialect, n_bands: int = 4) -> str:
     """Shared CTE block: distinct 3-word shingles per doc (ds), minhash
     signatures (sigs), capped band rows (bands), and the distinct LSH
@@ -808,6 +924,7 @@ TEXT_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": build_minhash_lsh_pairs,
     "dedup_ngram_jaccard": q_ngram_jaccard_top,
+    "dedup_simhash": q_dedup_simhash,
 }
 
 
