@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "ngram_counts",
     "line_freq_filter",
     "hll_distinct_chunks",
+    "bloom_dedup_probe",
 ]
 
 

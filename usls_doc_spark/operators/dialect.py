@@ -72,6 +72,11 @@ class Dialect:
         ``^`` is POWER — the function spelling is mandatory there."""
         return f"(({a}) ^ ({b}))" if self.name == "spark" else f"xor({a}, {b})"
 
+    def shiftleft(self, x: str, n: str) -> str:
+        """Left shift (operand pre-cast to BIGINT by the caller where the
+        result can exceed 32 bits). Spark spells it as a function."""
+        return f"shiftleft({x}, {n})" if self.name == "spark" else f"(({x}) << ({n}))"
+
     def intdiv(self, a: str, b: str) -> str:
         """Exact integer division (both operands integral, result BIGINT)."""
         return f"(({a}) DIV ({b}))" if self.name == "spark" else f"(({a}) // ({b}))"

@@ -800,6 +800,104 @@ FROM head
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental-ingest pre-filter
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 8192  # m — deliberately tight (~2% FP at ~1k seen keys) so the
+# false-positive branch is EXERCISED at test scale; production sizes m ~ 10n
+BLOOM_WORD_BITS = 32  # word width; 1 << bit stays far below the BIGINT sign
+BLOOM_K = 4  # hash functions: four disjoint 8-hex md5 slices
+
+
+def q_bloom_dedup_probe(d: Dialect) -> str:
+    """Bloom-filter membership pre-filter for incremental ingest — the
+    standard 100 TB pattern for "is this content already in the corpus?"
+    without shuffling the full key set: a FIXED-size bit array built over
+    the seen side (here: paragraph-chunk hashes of even doc_ids, the
+    'yesterday' half) is broadcast to every executor probing the new side
+    (odd doc_ids); definite-new chunks (any of the k bits unset) skip the
+    expensive exact join entirely, and only maybe-seen rows — a few
+    percent — would take the shuffle. Bloom's guarantee is one-sided:
+    false positives possible, false negatives IMPOSSIBLE, so the filter
+    is a safe pre-filter (nothing seen is ever treated as new).
+
+    Restated in exact integer arithmetic so it hash-oracles: k = 4 bit
+    positions per chunk from four disjoint 8-hex slices of one md5, the
+    filter as (word = pos DIV 32, bits = bit_or(1 << pos % 32)) rows —
+    at most m/32 = 2048 rows TOTAL regardless of corpus size, mergeable
+    across shards/days by bit_or for free (the same mergeability argument
+    as hll_distinct_chunks' max-registers). Per probe document: chunk
+    count, maybe-seen count, exact actually-seen count (the audit join a
+    production run would apply only to maybe-seen survivors) and the
+    false-positive count. The no-false-negative invariant is asserted by
+    the independent stdlib oracle test chunk-by-chunk.
+
+    Scale shape: the filter build is ONE map-side-combinable bit_or hash
+    aggregate collapsing to <= 2048 rows; the probe joins that tiny side
+    on the word id — AQE turns it into a BroadcastHashJoin (plan-asserted)
+    so the big probe side never shuffles for the membership test; the
+    only wide exchanges are the distinct-hash aggregates and the audit
+    equi-join, both AQE-splittable. Never a window."""
+    P = PARA_WORDS
+    WB, M, K = BLOOM_WORD_BITS, BLOOM_BITS, BLOOM_K
+    w = d.split("text")
+    n_ch = f"greatest(CAST(ceil({d.array_len('ws')} / {P}.0) AS INT), 1)"
+    if d.name == "spark":
+        chunk_i = f"array_join(slice(ws, (idx - 1) * {P} + 1, {P}), ' ')"
+    else:
+        chunk_i = (
+            f"array_to_string(ws[(idx - 1) * {P} + 1 : (idx - 1) * {P} + {P}], ' ')"
+        )
+    pos = f"({d.hex32_to_bigint(f'substr(h, 1 + 8 * ki, 8)')} % {M})"
+    one = "CAST(1 AS BIGINT)"
+    return f"""
+WITH chunked AS (
+  SELECT doc_id, {d.md5("chunk")} AS h
+  FROM (
+    SELECT doc_id, {chunk_i} AS chunk
+    FROM (SELECT doc_id, {w} AS ws FROM documents)
+         {d.explode(d.seq("1", n_ch), "idx")}
+  )
+),
+seen AS (SELECT DISTINCT h FROM chunked WHERE doc_id % 2 = 0),
+seen_pos AS (
+  SELECT {pos} AS pos FROM seen {d.explode(d.seq("0", str(K - 1)), "ki")}
+),
+bloom AS (
+  SELECT {d.intdiv("pos", str(WB))} AS word,
+         bit_or({d.shiftleft(one, f"pos % {WB}")}) AS bits
+  FROM seen_pos GROUP BY {d.intdiv("pos", str(WB))}
+),
+probe AS (SELECT doc_id, h FROM chunked WHERE doc_id % 2 = 1),
+probe_h AS (SELECT DISTINCT h FROM probe),
+probe_pos AS (
+  SELECT h, {d.intdiv(pos, str(WB))} AS word, {pos} % {WB} AS bit
+  FROM probe_h {d.explode(d.seq("0", str(K - 1)), "ki")}
+),
+hits AS (
+  SELECT p.h,
+         min(CASE WHEN (COALESCE(b.bits, 0) & {d.shiftleft(one, "p.bit")}) <> 0
+                  THEN 1 ELSE 0 END) AS maybe
+  FROM probe_pos p LEFT JOIN bloom b ON p.word = b.word
+  GROUP BY p.h
+),
+verdicts AS (
+  SELECT t.h, t.maybe,
+         CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END AS actual
+  FROM hits t LEFT JOIN seen s ON t.h = s.h
+)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(v.maybe) AS BIGINT) AS n_maybe_seen,
+       CAST(sum(v.actual) AS BIGINT) AS n_actually_seen,
+       CAST(sum(CASE WHEN v.maybe = 1 AND v.actual = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos
+FROM probe p JOIN verdicts v ON p.h = v.h
+GROUP BY p.doc_id
+"""
+
+
 WEB_QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_canonicalize_agg": q_url_canonicalize_agg,
@@ -812,4 +910,5 @@ WEB_QUERIES = {
     "ngram_counts": q_ngram_counts,
     "line_freq_filter": q_line_freq_filter,
     "hll_distinct_chunks": q_hll_distinct_chunks,
+    "bloom_dedup_probe": q_bloom_dedup_probe,
 }
