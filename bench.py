@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "line_freq_filter",
     "hll_distinct_chunks",
     "bloom_dedup_probe",
+    "cms_heavy_hitters",
 ]
 
 

@@ -801,6 +801,88 @@ FROM head
 
 
 # ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # rows (one per md5 8-hex slice — same slicing as the Bloom k)
+CMS_WIDTH = 512  # counters per row — deliberately tight vs the ~900-bigram
+# key space so the collision branch is EXERCISED at test scale (about half
+# the head rows overestimate); production sizes WIDTH ~ e/eps
+CMS_TOP_K = 20  # exact heavy-hitter head audited against the sketch
+
+
+def q_cms_heavy_hitters(d: Dialect) -> str:
+    """Count-min sketch bigram frequencies (Cormode & Muthukrishnan 2005)
+    — the fixed-memory frequency primitive a 100 TB run uses where an
+    exact per-key count table would be vocabulary-sized: a DEPTH x WIDTH
+    counter grid (4 x 512 = at most 2048 rows TOTAL regardless of key
+    space), each bigram occurrence incrementing one counter per row
+    (index = that row's md5 slice mod WIDTH), point estimate = min over
+    the 4 counters. CMS error is ONE-SIDED: collisions only ADD, so
+    estimate >= exact always — the dual of Bloom's no-false-negative
+    guarantee, asserted row-by-row by the independent Counter oracle.
+    Keys are word BIGRAMS (the ~900-key space ngram_counts counts
+    exactly) so the sketch is measured against a key space larger than
+    its width.
+
+    The query builds the sketch, takes the exact top-CMS_TOP_K heavy
+    hitters (the audit head — at 100 TB you keep only the sketch), and
+    reports each head bigram's exact count, sketch estimate and
+    overestimate. Everything is exact integer arithmetic, so the whole
+    construction hash-oracles.
+
+    Scale shape: the sketch is ONE hash aggregate on (row, index) with
+    map-side partial combine — hot bigrams collapse per mapper — bounded
+    at DEPTH*WIDTH rows and mergeable across shards/days/streams by
+    plain + (sketch addition IS multiset union); the exact head is a
+    TakeOrderedAndProject bounded heap (ngram_counts discipline, never a
+    vocab-wide sort); the probe joins CMS_TOP_K*DEPTH = 80 rows against
+    the sketch (broadcast-sized both sides); the final rank window runs
+    over the already-limited 20 rows."""
+    D_, W_, K_ = CMS_DEPTH, CMS_WIDTH, CMS_TOP_K
+    w = d.split("text")
+    grams = d.shingles("ws", 2)
+    idx_tok = f"({d.hex32_to_bigint('substr(h, 1 + 8 * ki, 8)')} % {W_})"
+    return f"""
+WITH tokens AS (
+  SELECT gram, {d.md5("gram")} AS h
+  FROM (
+    SELECT {grams} AS gs
+    FROM (SELECT {w} AS ws FROM documents)
+    WHERE {d.array_len("ws")} >= 2
+  ) {d.explode("gs", "gram")}
+),
+sketch AS (
+  SELECT ki AS r, {idx_tok} AS idx, CAST(count(*) AS BIGINT) AS c
+  FROM tokens {d.explode(d.seq("0", str(D_ - 1)), "ki")}
+  GROUP BY ki, {idx_tok}
+),
+exact AS (
+  SELECT gram, min(h) AS h, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM tokens GROUP BY gram
+),
+head AS (
+  SELECT gram, h, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, gram
+  LIMIT {K_}
+),
+probe AS (
+  SELECT gram, exact_cnt, ki AS r, {idx_tok} AS idx
+  FROM head {d.explode(d.seq("0", str(D_ - 1)), "ki")}
+),
+est AS (
+  SELECT p.gram, p.exact_cnt, min(s.c) AS cms_est
+  FROM probe p JOIN sketch s ON p.r = s.r AND p.idx = s.idx
+  GROUP BY p.gram, p.exact_cnt
+)
+SELECT gram, exact_cnt, cms_est,
+       cms_est - exact_cnt AS overestimate,
+       CAST(row_number() OVER (ORDER BY exact_cnt DESC, gram) AS BIGINT) AS rnk
+FROM est
+"""
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter incremental-ingest pre-filter
 # ---------------------------------------------------------------------------
 
@@ -911,4 +993,5 @@ WEB_QUERIES = {
     "line_freq_filter": q_line_freq_filter,
     "hll_distinct_chunks": q_hll_distinct_chunks,
     "bloom_dedup_probe": q_bloom_dedup_probe,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
 }
