@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "hll_distinct_chunks",
     "bloom_dedup_probe",
     "cms_heavy_hitters",
+    "priority_sample_weighted",
+    "token_quantiles",
 ]
 
 

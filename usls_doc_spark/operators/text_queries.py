@@ -903,10 +903,59 @@ FROM codes
 
 from .web_curation import WEB_QUERIES  # noqa: E402  (template dict merge)
 
+QUANTILE_PCTS = (50, 90, 99)  # inverted-CDF (type-1) percentiles reported
+
+
+def q_token_quantiles(d: Dialect) -> str:
+    """Exact distributed order statistics WITHOUT a global sort: per
+    language, the p50/p90/p99 of per-document token counts via the
+    count-histogram + cumulative-sum construction — the corpus
+    length-profile a packing/truncation policy is tuned against. The
+    type-1 (inverted-CDF) quantile — smallest length whose cumulative
+    count reaches ceil(p% of n) — is stated in pure integer arithmetic
+    (cum*100 >= p*total, no division), so the whole query hash-oracles.
+
+    Scale shape: documents collapse FIRST into the (lang, n_tokens)
+    histogram by one map-side-combinable hash aggregate — the histogram's
+    cardinality is bounded by the number of DISTINCT lengths (<= max doc
+    length, independent of corpus size), which is what makes the
+    subsequent per-lang cumulative window safe: its partitions hold
+    histogram rows, never document rows (a percentile_approx/global-sort
+    formulation would shuffle every doc row instead). The final pick is
+    a conditional min per lang over the same bounded rows."""
+    w = d.split("text")
+    picks = ",\n       ".join(
+        f"min(CASE WHEN cc * 100 >= {p} * total THEN n_tok END) AS p{p}"
+        for p in QUANTILE_PCTS
+    )
+    return f"""
+WITH hist AS (
+  SELECT lang, n_tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT lang, CAST({d.array_len(w)} AS BIGINT) AS n_tok FROM documents)
+  GROUP BY lang, n_tok
+),
+cum AS (
+  SELECT lang, n_tok, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY n_tok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+         sum(c) OVER (PARTITION BY lang) AS total
+  FROM hist
+)
+SELECT lang,
+       CAST(max(total) AS BIGINT) AS n_docs,
+       min(n_tok) AS min_tok,
+       max(n_tok) AS max_tok,
+       {picks}
+FROM cum
+GROUP BY lang
+"""
+
+
 TEXT_QUERIES = {
     # web-curation family (operators/web_curation.py) — registered EARLY in
     # queries.build_registry (never yet driver-checked; see its docstring)
     **WEB_QUERIES,
+    "token_quantiles": q_token_quantiles,
     "lsh_recall": q_lsh_recall,
     "decontaminate_ngram_overlap": q_decontaminate,
     "repetition_filter": q_repetition_filter,

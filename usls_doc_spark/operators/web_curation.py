@@ -980,6 +980,117 @@ GROUP BY p.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Weighted priority sampling (Duffield-Lund-Thorup)
+# ---------------------------------------------------------------------------
+
+PRIO_K = 8  # sample size per language stratum
+PRIO_SALTS = 8  # fan-out of the level-1 bounded top-k (the skew knob)
+PRIO_W_CAP = 1 << 20  # weight clip for the key: q = w<<32 stays under 2^52
+_PRIO_QCAP = 1 << 53  # > any q; 16 decimal digits, keeps the key fixed-width
+
+
+def q_priority_sample_weighted(d: Dialect) -> str:
+    """Weighted priority sampling (Duffield, Lund & Thorup, JACM 2007):
+    per language, sample the K documents with the largest priority
+    q_i = w_i / u_i (weight w_i = token count, u_i = a deterministic
+    per-doc uniform), and estimate the stratum's TOTAL token count from
+    the sample alone via the DLT estimator w_hat_i = max(w_i, tau) with
+    tau = the (K+1)-th largest priority — the one-pass fixed-memory
+    weighted-sampling scheme a 100 TB token-budget planner runs instead
+    of an exact per-stratum sum over every shard.
+
+    Restated in exact integer arithmetic so it hash-oracles: the uniform
+    is u = (h+1)/2^32 for h = a 32-bit md5 slice of the doc_id, so the
+    priority w/u = w*2^32/(h+1) is computed as the fixed-point
+    q = (w << 32) DIV (h + 1) — a BIGINT below 2^52 (weights clipped at
+    2^20 tokens; no-op on real documents). The 2^32 cancels against the
+    uniform's denominator: q is ALREADY in weight units (q >= w always),
+    so threshold and estimator need no rescaling — w_hat =
+    greatest(w, tau_q), est_total = sum(w_hat), all exact BIGINTs, no
+    division anywhere. Sampling needs only a consistent total order,
+    which (q DESC, doc_id ASC) provides. Strata with <= K documents have
+    no (K+1)-th priority: tau_q = 0 and the estimate degenerates to the
+    EXACT stratum total (DLT's exactness-on-small-strata property —
+    asserted by the independent oracle test).
+
+    Scale shape (the inverted_index discipline): per-stratum top-(K+1)
+    as a TWO-LEVEL bounded top-k with no window over document rows —
+    level 1 groups by (lang, h % 8) and keeps each salt class's K+1
+    smallest fixed-width keys (sorted-array slice, collect partial-
+    aggregates map-side so a reducer sees one bounded list per mapper);
+    level 2 merges the <= 8*(K+1) candidates per lang. The merge is
+    EXACT because the salt classes partition the documents: every member
+    of the true head is the head of its own class. The exact stratum
+    total (the audit column a production run wouldn't compute) is one
+    map-side-combinable hash agg; the final rank window runs over the
+    already-sliced <= K+1 rows per lang."""
+    K, S = PRIO_K, PRIO_SALTS
+    w_arr = d.split("text")
+    h = d.hash32(d.str_cast("doc_id") + " || ':prio'")
+    q = d.intdiv(d.shiftleft(f"least(w, {PRIO_W_CAP})", "32"), "(h + 1)")
+    # ascending key == (q DESC, doc_id ASC): fixed-width zero-padded
+    # (QCAP - q) then doc_id — same portable string-min trick as
+    # paragraph_dedup (struct aggregates are not portable to DuckDB)
+    key = (
+        f"lpad({d.str_cast(f'{_PRIO_QCAP} - q')}, 16, '0') || ':' || "
+        f"lpad({d.str_cast('doc_id')}, 20, '0')"
+    )
+    head1 = d.array_slice(d.sorted_list("k"), 1, K + 1)
+    head2 = d.array_slice(d.sorted_list("k"), 1, K + 1)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lang, w, h,
+         {q} AS q
+  FROM (
+    SELECT doc_id, lang,
+           CAST({d.array_len(w_arr)} AS BIGINT) AS w,
+           {h} AS h
+    FROM documents
+  )
+),
+keyed AS (SELECT lang, h % {S} AS salt, {key} AS k FROM docs),
+heads1 AS (
+  SELECT lang, {head1} AS head FROM keyed GROUP BY lang, salt
+),
+cand AS (SELECT lang, k FROM heads1 {d.explode("head", "k")}),
+heads AS (SELECT lang, {head2} AS head FROM cand GROUP BY lang),
+ranked AS (
+  SELECT lang,
+         {_PRIO_QCAP} - CAST(substr(k, 1, 16) AS BIGINT) AS q,
+         CAST(substr(k, 18, 20) AS BIGINT) AS doc_id,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY k) AS BIGINT)
+           AS rnk
+  FROM heads {d.explode("head", "k")}
+),
+tau AS (
+  SELECT lang,
+         COALESCE(max(CASE WHEN rnk = {K + 1} THEN q END), 0) AS tau_q
+  FROM ranked GROUP BY lang
+),
+exact AS (
+  SELECT lang, CAST(sum(least(w, {PRIO_W_CAP})) AS BIGINT) AS exact_total,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM docs GROUP BY lang
+),
+sample AS (
+  SELECT r.lang, r.rnk, r.doc_id, r.q, d.w, t.tau_q,
+         greatest(least(d.w, {PRIO_W_CAP}), t.tau_q) AS w_hat
+  FROM ranked r
+  JOIN docs d ON r.doc_id = d.doc_id
+  JOIN tau t ON r.lang = t.lang
+  WHERE r.rnk <= {K}
+)
+SELECT s.lang, s.rnk, s.doc_id, s.w AS weight, s.q AS q_prio,
+       s.tau_q, s.w_hat,
+       est.est_total, e.exact_total, e.n_docs
+FROM sample s
+JOIN (SELECT lang, CAST(sum(w_hat) AS BIGINT) AS est_total
+      FROM sample GROUP BY lang) est ON s.lang = est.lang
+JOIN exact e ON s.lang = e.lang
+"""
+
+
 WEB_QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_canonicalize_agg": q_url_canonicalize_agg,
@@ -994,4 +1105,5 @@ WEB_QUERIES = {
     "hll_distinct_chunks": q_hll_distinct_chunks,
     "bloom_dedup_probe": q_bloom_dedup_probe,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "priority_sample_weighted": q_priority_sample_weighted,
 }
