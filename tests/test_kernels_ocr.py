@@ -299,3 +299,32 @@ def test_simplify_runs_hull_identity_fuzz():
             assert np.array_equal(full, fast)
 
     check()
+
+
+def test_single_rect_fast_path_condition_boundaries():
+    """Round-5 single-solid-rectangle fast path in find_outer_contours
+    (bbox fully set == exactly one component == that rect): the guard's
+    edges — stray pixel outside the rect (count mismatch), hollow rect
+    (.all() fails), 1-px-wide/tall rects (excluded, Moore path), two
+    touching rects forming a bigger rect (fast path CORRECTLY fires) —
+    must all be point-identical to the full-frame Moore reference."""
+    from usls_doc_spark.kernels.ocr import find_outer_contours
+
+    cases = []
+    m = np.zeros((10, 14), dtype=np.uint8)
+    m[2:7, 3:11] = 1
+    cases.append(m.copy())                       # clean solid rect
+    m2 = m.copy(); m2[0, 0] = 1
+    cases.append(m2)                             # stray pixel: 2 components
+    m3 = m.copy(); m3[4, 6] = 0
+    cases.append(m3)                             # hole: not solid
+    m4 = np.zeros((10, 14), dtype=np.uint8); m4[3, 2:9] = 1
+    cases.append(m4)                             # 1-px-tall strip
+    m5 = np.zeros((10, 14), dtype=np.uint8); m5[2:5, 3:6] = 1; m5[2:5, 6:9] = 1
+    cases.append(m5)                             # touching rects == one rect
+    for fg in cases:
+        got = find_outer_contours(fg)
+        want = _reference_contours(fg)
+        assert len(got) == len(want)
+        for g, w_ in zip(got, want):
+            assert np.array_equal(g, w_) and g.dtype == w_.dtype

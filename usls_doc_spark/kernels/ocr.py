@@ -194,6 +194,26 @@ def find_outer_contours(mask: np.ndarray) -> list[np.ndarray]:
     fg = np.asarray(mask) > 0
     if not fg.any():
         return []
+    # single-solid-rectangle fast path: if the foreground's bounding box is
+    # fully set AND contains every fg pixel, there is exactly one
+    # 4-connected component and it is that solid rect — the labeling /
+    # nonzero / argsort machinery below would reach the same _rect_ring via
+    # its per-component rect test (bitwise-identical, A/B-asserted in
+    # tests/test_kernels_ocr.py). This is the DB-detect hot shape: every
+    # stub prob map is one solid text rectangle.
+    rows = fg.any(axis=1)
+    cols = fg.any(axis=0)
+    ry = np.flatnonzero(rows)
+    cx = np.flatnonzero(cols)
+    y0r, y1r = int(ry[0]), int(ry[-1])
+    x0r, x1r = int(cx[0]), int(cx[-1])
+    if (
+        y1r > y0r
+        and x1r > x0r
+        and int(np.count_nonzero(fg)) == (y1r - y0r + 1) * (x1r - x0r + 1)
+        and fg[y0r : y1r + 1, x0r : x1r + 1].all()
+    ):
+        return [_rect_ring(x0r, y0r, x1r, y1r)[::-1].astype(np.float64)]
     labels, n = _label_components(fg)
     ys, xs = np.nonzero(labels)
     lab = labels[ys, xs]
