@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "cms_heavy_hitters",
     "priority_sample_weighted",
     "token_quantiles",
+    "cdc_upsert_compact",
+    "zorder_cluster",
 ]
 
 

@@ -173,6 +173,14 @@ class Dialect:
             return f"regexp_replace({s}, {pattern}, {replacement})"
         return f"regexp_replace({s}, {pattern}, {replacement}, 'g')"
 
+    def epoch_seconds(self, ts: str) -> str:
+        """Timestamp -> whole epoch seconds as BIGINT (session tz = UTC;
+        the events timestamps carry no sub-second drift risk here because
+        only floor-divided bucket values are consumed)."""
+        if self.name == "spark":
+            return f"CAST(unix_timestamp({ts}) AS BIGINT)"
+        return f"CAST(floor(epoch({ts})) AS BIGINT)"
+
     def time_bucket(self, ts: str, seconds: int) -> str:
         if self.name == "spark":
             return f"timestamp_seconds(floor(unix_timestamp({ts}) / {seconds}) * {seconds})"
