@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "token_quantiles",
     "cdc_upsert_compact",
     "zorder_cluster",
+    "dup_window_fraction",
 ]
 
 

@@ -1,0 +1,108 @@
+"""Independent oracle for dup_window_fraction: sliding-window doc
+frequencies rebuilt with dict/set (no code shared with the two-dialect
+template), plus a constructed input exercising the below-threshold
+partial-overlap branch the real corpus lacks (its duplicates are
+near-full-doc, fractions 0.89-1.0)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+from usls_doc_spark.operators.text_queries import DUPWIN_MIN_FREQ, DUPWIN_WORDS
+
+
+def _reference(rows):
+    """rows: (doc_id, text) -> {doc_id: (n_windows, n_dup, dropped)}."""
+    doc_wins = {}
+    for doc_id, text in rows:
+        ws = text.split(" ")
+        n = max(len(ws) - DUPWIN_WORDS + 1, 1)
+        doc_wins[doc_id] = [" ".join(ws[i : i + DUPWIN_WORDS]) for i in range(n)]
+    df = {}
+    for doc_id, wins in doc_wins.items():
+        for w in set(wins):
+            df[w] = df.get(w, 0) + 1
+    out = {}
+    for doc_id, wins in doc_wins.items():
+        dup = sum(1 for w in wins if df[w] >= DUPWIN_MIN_FREQ)
+        out[doc_id] = (len(wins), dup, int(2 * dup >= len(wins)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_rows():
+    return duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+
+
+def test_dup_window_vs_dict_reference(spark, docs_rows):
+    from usls_doc_spark.queries import build_registry
+
+    expected = _reference(docs_rows)
+    qs, _ = build_registry()
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dropped"],
+                      r["dup_fraction"])
+        for r in qs["dup_window_fraction"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expected)
+    for doc_id, (n, dup, dropped) in expected.items():
+        g = got[doc_id]
+        assert g[:3] == (n, dup, dropped), doc_id
+        assert g[3] == dup / n, doc_id  # single IEEE division, bit-identical
+    # both corpus-level branches are live: clean docs and dropped dups
+    assert any(v[2] == 1 for v in expected.values())
+    assert any(v[1] == 0 for v in expected.values())
+
+
+def test_dup_window_partial_overlap_below_threshold(spark):
+    """A doc sharing ONE 16-word run with another (shifted by an offset a
+    chunk-aligned scheme would miss) must count exactly the shared
+    windows, land below the 0.5 threshold, and NOT be dropped — identical
+    in both engines on the same constructed input."""
+    from tests.oracle_utils import compare
+    from usls_doc_spark.operators.dialect import DUCK, SPARK
+    from usls_doc_spark.operators.text_queries import TEXT_QUERIES
+
+    shared = " ".join(f"s{i}" for i in range(DUPWIN_WORDS))
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(40)) + " " + shared, "en"),
+        # offset by 3 words so the shared run is NOT chunk-aligned
+        (2, "x0 x1 x2 " + shared + " " + " ".join(f"b{i}" for i in range(40)), "en"),
+        (3, " ".join(f"c{i}" for i in range(30)), "en"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    sdf.createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+
+    got = spark.sql(TEXT_QUERIES["dup_window_fraction"](SPARK))
+    ok, msg = compare(got, con.sql(TEXT_QUERIES["dup_window_fraction"](DUCK)))
+    assert ok, msg
+    by_id = {r["doc_id"]: r for r in got.collect()}
+    ref = _reference([(i, t) for i, t, _ in rows])
+    for doc_id, (n, dup, dropped) in ref.items():
+        r = by_id[doc_id]
+        assert (r["n_windows"], r["n_dup_windows"], r["dropped"]) == (n, dup, dropped)
+    assert by_id[1]["n_dup_windows"] == 1  # exactly the one shared window
+    assert by_id[2]["n_dup_windows"] == 1
+    assert by_id[1]["dropped"] == 0 and by_id[2]["dropped"] == 0
+    assert by_id[3]["n_dup_windows"] == 0
+
+
+def test_dup_window_plan_no_window_function(spark):
+    """Despite the name: doc frequencies are nested hash aggregates with
+    map-side combine and the verdict is an AQE-splittable hash equi-join —
+    never a window function, never a cartesian."""
+    from usls_doc_spark.queries import build_registry
+
+    qs, _ = build_registry()
+    df = qs["dup_window_fraction"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan

@@ -903,6 +903,66 @@ FROM codes
 
 from .web_curation import WEB_QUERIES  # noqa: E402  (template dict merge)
 
+DUPWIN_WORDS = 16  # sliding window length (words)
+DUPWIN_MIN_FREQ = 2  # a window present in >= 2 DOCUMENTS is boilerplate
+
+
+def q_dup_window_fraction(d: Dialect) -> str:
+    """Cross-document duplicated-substring signal (the ExactSubstr dedup
+    decision of Lee et al. 2022 / RefinedWeb's F_dup metrics, restated at
+    word granularity): SLIDING 16-word windows — unlike line_freq_filter's
+    non-overlapping chunks, a sliding window catches boilerplate at ANY
+    word offset — hashed and counted by DISTINCT document frequency; a
+    document's dup_fraction is the share of its windows that appear in at
+    least one OTHER document. Per doc: window count, duplicated-window
+    count, the fraction, and the drop verdict at the 0.5 threshold.
+    (Within-doc repetition is repetition_filter's job; this is the
+    cross-doc complement.)
+
+    Scale shape: the explode is ~n_words rows per doc (the same blowup
+    every shingle query here carries); window doc-frequencies are TWO
+    nested hash aggregates with map-side partial combine (distinct
+    (hash, doc) then count per hash — a corpus-wide boilerplate window
+    collapses per mapper, never one reducer row per copy); the verdict
+    joins doc-windows back on the hash equi-key (AQE-splittable, the
+    line_freq_filter discipline); one final per-doc hash agg. No window
+    function anywhere despite the name."""
+    P = DUPWIN_WORDS
+    w = d.split("text")
+    n_win = f"greatest({d.array_len('ws')} - {P - 1}, 1)"
+    if d.name == "spark":
+        win_i = f"array_join(slice(ws, idx, {P}), ' ')"
+    else:
+        win_i = f"array_to_string(ws[idx:idx+{P - 1}], ' ')"
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {w} AS ws FROM documents
+),
+wins AS (
+  SELECT doc_id, {d.md5("win")} AS h
+  FROM (
+    SELECT doc_id, {win_i} AS win
+    FROM docs {d.explode(d.seq("1", n_win), "idx")}
+  )
+),
+doc_freq AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, h FROM wins)
+  GROUP BY h
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN f.df >= {DUPWIN_MIN_FREQ} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_windows,
+       CAST(sum(CASE WHEN f.df >= {DUPWIN_MIN_FREQ} THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*) AS dup_fraction,
+       CASE WHEN sum(CASE WHEN f.df >= {DUPWIN_MIN_FREQ} THEN 1 ELSE 0 END) * 2
+                 >= count(*) THEN 1 ELSE 0 END AS dropped
+FROM wins w JOIN doc_freq f ON w.h = f.h
+GROUP BY w.doc_id
+"""
+
+
 CDC_NEW_BASE = 1_000_000  # synthetic insert keys live above the base id space
 
 
@@ -1057,6 +1117,7 @@ TEXT_QUERIES = {
     "token_quantiles": q_token_quantiles,
     "cdc_upsert_compact": q_cdc_upsert_compact,
     "zorder_cluster": q_zorder_cluster,
+    "dup_window_fraction": q_dup_window_fraction,
     "lsh_recall": q_lsh_recall,
     "decontaminate_ngram_overlap": q_decontaminate,
     "repetition_filter": q_repetition_filter,
