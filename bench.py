@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "cdc_upsert_compact",
     "zorder_cluster",
     "dup_window_fraction",
+    "multimodal_frame_sample",
 ]
 
 

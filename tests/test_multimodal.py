@@ -65,3 +65,51 @@ def test_oracle_matches_python_synth_bit_exact():
             assert a.astype("float64").equals(b.astype("float64")), c
         else:
             assert a.astype(str).equals(b.astype(str)), c
+
+
+def test_frame_sample_vs_python_reference(spark):
+    """Fan-out semantics vs a plain-python replay over the REAL page
+    bytes: per-doc frame count <= K, even stride, last frame partial,
+    first frame always present, per-frame integer-sum mean."""
+    import math
+
+    import numpy as np
+
+    from tests.conftest import SF_DIR
+    from usls_doc_spark.io.synth import pages_from_documents
+    from usls_doc_spark.operators.multimodal import (
+        FRAME_BYTES,
+        FRAME_SAMPLE_K,
+        multimodal_frame_sample,
+    )
+
+    pages = {
+        r["url"]: bytes(r["html"])
+        for r in pages_from_documents(spark, SF_DIR).select("url", "html").collect()
+    }
+    expected = {}
+    for url, data in pages.items():
+        arr = np.frombuffer(data, dtype=np.uint8)
+        n_frames = math.ceil(len(arr) / FRAME_BYTES)
+        step = math.ceil(n_frames / FRAME_SAMPLE_K)
+        for fi in range(0, n_frames, step):
+            fr = arr[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+            expected[(url, fi)] = (
+                fi * FRAME_BYTES, len(fr),
+                int(fr.sum(dtype=np.int64)) / len(fr), int(fr[0]),
+            )
+
+    got = {
+        (r["url"], r["frame_id"]): (
+            r["frame_off"], r["frame_len"], r["mean_byte"], r["first_byte"]
+        )
+        for r in multimodal_frame_sample(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    per_doc = {}
+    for url, _fi in got:
+        per_doc[url] = per_doc.get(url, 0) + 1
+    assert all(1 <= n <= FRAME_SAMPLE_K for n in per_doc.values())
+    assert set(per_doc) == set(pages)  # every doc sampled, frame 0 always
+    assert any(v[1] < FRAME_BYTES for v in got.values())  # partial tail frame
+    assert any(n == FRAME_SAMPLE_K for n in per_doc.values())  # full-K docs

@@ -113,8 +113,10 @@ def _stratum(j: int) -> str:
     )
 
 
-# Rebuild of io/synth.py synth_page(), piece by piece, in DuckDB SQL.
-MULTIMODAL_ORACLE = f"""
+# Rebuild of io/synth.py synth_page(), piece by piece, in DuckDB SQL —
+# shared by MULTIMODAL_ORACLE and FRAME_SAMPLE_ORACLE (ends at the
+# `codes` CTE: per-doc html string + per-byte code list + length).
+_PAGE_CODES_CTES = f"""
 WITH src AS (
   SELECT doc_id, text,
          doc_id % 3 = 1 AS two_col,
@@ -175,7 +177,9 @@ codes AS (
          [ascii(c) for c in string_split(html, '')] AS cs,
          length(html) AS n
   FROM page
-)
+)"""
+
+MULTIMODAL_ORACLE = f"""{_PAGE_CODES_CTES}
 SELECT 'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
        n AS n_bytes,
        lower(hex(encode(substr(html, 1, 4)))) AS magic,
@@ -183,4 +187,83 @@ SELECT 'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS ur
        CAST(n // 4096 + 1 AS INT) AS n_frames,
        {", ".join(_stratum(j) for j in range(N_FEATURES))}
 FROM codes
+"""
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: one input row fans OUT to K rows across the Arrow boundary
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 1024  # fixed "frame" size over the opaque media payload
+FRAME_SAMPLE_K = 4  # frames sampled per document (evenly strided)
+
+FRAME_SAMPLE_SCHEMA = (
+    "url string, frame_id int, frame_off bigint, frame_len bigint, "
+    "mean_byte double, first_byte int"
+)
+
+
+def frame_sample_batch(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """mapInPandas fan-OUT: each media payload yields up to K sampled
+    frame rows (the video frame-sample shape — dataloader.rs's images2mp4
+    consumer side would decode these). Frames are FRAME_BYTES slices;
+    sampling is the deterministic even stride ceil(n_frames / K). A real
+    deployment swaps the per-frame stats for a decoder call; the
+    partitioning/batching/fan-out plumbing is what this operator tests."""
+    import math
+
+    cols = ["url", "frame_id", "frame_off", "frame_len", "mean_byte", "first_byte"]
+    for pdf in batches:
+        rows = []
+        for url, data in zip(pdf["url"], pdf["html"]):
+            if data is None or len(data) == 0:
+                continue
+            arr = np.frombuffer(bytes(data), dtype=np.uint8)
+            n_frames = math.ceil(len(arr) / FRAME_BYTES)
+            step = math.ceil(n_frames / FRAME_SAMPLE_K)
+            for fi in range(0, n_frames, step):
+                off = fi * FRAME_BYTES
+                fr = arr[off : off + FRAME_BYTES]
+                # integer sum then ONE division: bit-identical to the oracle
+                rows.append(
+                    (
+                        url,
+                        fi,
+                        off,
+                        len(fr),
+                        float(int(fr.sum(dtype=np.int64)) / len(fr)),
+                        int(fr[0]),
+                    )
+                )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def multimodal_frame_sample(spark, sf_dir: str):
+    """pages(html binary) -> up to K strided frame rows per document."""
+    from ..io.synth import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    return pages.select("url", "html").mapInPandas(
+        frame_sample_batch, schema=FRAME_SAMPLE_SCHEMA
+    )
+
+
+FRAME_SAMPLE_ORACLE = f"""{_PAGE_CODES_CTES},
+frames AS (
+  SELECT doc_id, cs, n,
+         CAST(ceil(n / {FRAME_BYTES}.0) AS BIGINT) AS n_frames,
+         CAST(ceil(ceil(n / {FRAME_BYTES}.0) / {FRAME_SAMPLE_K}.0) AS BIGINT)
+           AS step
+  FROM codes
+)
+SELECT 'https://example.org/doc/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+       CAST(fi AS INT) AS frame_id,
+       fi * {FRAME_BYTES} AS frame_off,
+       least(n - fi * {FRAME_BYTES}, {FRAME_BYTES}) AS frame_len,
+       CAST(list_sum(cs[fi * {FRAME_BYTES} + 1 :
+                        fi * {FRAME_BYTES} + least(n - fi * {FRAME_BYTES}, {FRAME_BYTES})])
+            AS DOUBLE)
+         / least(n - fi * {FRAME_BYTES}, {FRAME_BYTES}) AS mean_byte,
+       cs[fi * {FRAME_BYTES} + 1] AS first_byte
+FROM frames, unnest(range(0, n_frames, step)) AS t_fi(fi)
 """
