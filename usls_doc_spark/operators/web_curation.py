@@ -811,6 +811,31 @@ CMS_WIDTH = 512  # counters per row — deliberately tight vs the ~900-bigram
 CMS_TOP_K = 20  # exact heavy-hitter head audited against the sketch
 
 
+def cms_sketch_sql(d: Dialect, table: str = "documents") -> str:
+    """Standalone DEPTH x WIDTH bigram sketch over `table(text)` as
+    (r, idx, c) rows — the raw mergeable state the streaming incremental
+    build (streaming/cms.py) appends per micro-batch and its oracle
+    states over the whole table. Mirrors q_cms_heavy_hitters' sketch CTE,
+    which stays inline there so it can share its tokens CTE with the
+    exact audit head."""
+    D_, W_ = CMS_DEPTH, CMS_WIDTH
+    w = d.split("text")
+    grams = d.shingles("ws", 2)
+    idx_tok = f"({d.hex32_to_bigint('substr(h, 1 + 8 * ki, 8)')} % {W_})"
+    return f"""
+SELECT ki AS r, {idx_tok} AS idx, CAST(count(*) AS BIGINT) AS c
+FROM (
+  SELECT {d.md5("gram")} AS h
+  FROM (
+    SELECT {grams} AS gs
+    FROM (SELECT {w} AS ws FROM {table})
+    WHERE {d.array_len("ws")} >= 2
+  ) {d.explode("gs", "gram")}
+) {d.explode(d.seq("0", str(D_ - 1)), "ki")}
+GROUP BY ki, {idx_tok}
+"""
+
+
 def q_cms_heavy_hitters(d: Dialect) -> str:
     """Count-min sketch bigram frequencies (Cormode & Muthukrishnan 2005)
     — the fixed-memory frequency primitive a 100 TB run uses where an
