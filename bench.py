@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "zorder_cluster",
     "dup_window_fraction",
     "multimodal_frame_sample",
+    "funnel_conversion",
+    "cohort_retention",
 ]
 
 

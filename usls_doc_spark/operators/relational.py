@@ -502,6 +502,84 @@ def lang_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SETOPS_SQL)
 
 
+# --- funnel conversion (shared ANSI SQL: staged min-ts joins, no window) -----
+# Ordered step sequence signup -> view -> purchase: each step's anchor is the
+# FIRST qualifying event strictly after the previous step's anchor, and the
+# funnel converts if the purchase lands within 48 h of the signup. Scale
+# shape: three per-user hash aggregates (map-side combinable min) chained by
+# user_id equi-joins (AQE-splittable) — the window-free funnel form; no
+# per-user event ordering ever shuffles, only one min row per user per stage.
+FUNNEL_SQL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+v AS (
+  SELECT e.user_id, min(e.ts) AS view_ts
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'view' AND e.ts > s.signup_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.view_ts
+  GROUP BY e.user_id
+)
+SELECT s.user_id, s.signup_ts, v.view_ts, p.purchase_ts,
+       CASE WHEN p.purchase_ts IS NOT NULL
+                 AND p.purchase_ts <= s.signup_ts + INTERVAL 48 HOUR
+            THEN 1 ELSE 0 END AS converted
+FROM s
+LEFT JOIN v ON s.user_id = v.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(FUNNEL_SQL)
+
+
+# --- weekly cohort retention --------------------------------------------------
+# cohort_week = epoch week of the user's FIRST event; a user counts as
+# retained at week_offset k if any event falls k weeks after the cohort
+# week. Scale shape: one per-user min hash agg, one user_id equi-join back
+# (AQE-splittable), one distinct-count hash agg on the tiny
+# (cohort_week, week_offset) key — no window. Week arithmetic is exact
+# BIGINT floor-division of epoch seconds (dialect-split only in the epoch
+# extraction: Spark unix_timestamp vs DuckDB epoch, both tz-independent on
+# TIMESTAMP columns).
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    wk = F.floor(F.unix_timestamp("ts") / 604800).cast("bigint")
+    cwk = F.floor(F.unix_timestamp("first_ts") / 604800).cast("bigint")
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            cwk.alias("cohort_week"),
+            (wk - cwk).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+RETENTION_ORACLE = """
+WITH f AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+)
+SELECT CAST(floor(epoch(f.first_ts) / 604800) AS BIGINT) AS cohort_week,
+       CAST(floor(epoch(e.ts) / 604800)
+            - floor(epoch(f.first_ts) / 604800) AS BIGINT) AS week_offset,
+       count(DISTINCT e.user_id) AS n_active
+FROM events e JOIN f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 RELATIONAL_QUERIES = {
     "q6_revenue_delta": (q6_revenue_delta, Q6_ORACLE),
     "q4_priority_semi": (q4_priority_semi, Q4_ORACLE),
@@ -518,4 +596,6 @@ RELATIONAL_QUERIES = {
     "events_pivot": (events_pivot, EVENTS_PIVOT_ORACLE),
     "events_rollup": (events_rollup, ROLLUP_SQL),
     "asof_join_purchases": (asof_join_purchases, ASOF_ORACLE),
+    "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
+    "cohort_retention": (cohort_retention, RETENTION_ORACLE),
 }
