@@ -129,6 +129,15 @@ ADVERSARIAL_HTML = [
     "<p><!--><p>short bogus comment</p>",
     "<p><!---><p>also bogus</p>",
     "<p>tail <!--never closed",
+    # round-5 differential-fuzz finds: stdlib closes comments with the
+    # regex '--\\s*>' (whitespace before '>' allowed), and its EOF
+    # recovery emits unterminated constructs only up to the NEXT '<'
+    # (then reprocesses) — never the whole remainder in one fragment
+    "<!--><li>--\n>",
+    "<a><table><y\n<",
+    "<a><p><!\n<",
+    "<p><!--x--\t>y</p>",
+    "<a href='x'><!--a-- >b",
     "<!DOCTYPE html><?xml version='1.0'?><p>after decls</p>",
     '<script>var a = "<p>fake</p>";</script><p>kept</p>',
     "<style>p { color: red }</style><p>styled</p>",
@@ -204,6 +213,7 @@ def test_fast_tokenizer_fuzz_differential():
             "<noscript>", "</noscript>", "<template>", "</template>",
             '<noscript><div class="ad">', "</noscript x>",
             "<!-- c -->", "<!", "<!DOCTYPE html>", "<?pi?>",
+            "<!--", "-->", "--\n>", "-- >", "<!--x--\t>", "<y\n<",
             "text ", "words here ", "&amp;", "&lt;", "&#65;", "&bogus;",
             "<", ">", "&", "  ", "\n", "\t", "<p", "p>", "</", "/>",
             "<P CLASS='MENU'>", "<span>", "</span>", "quoted='>'",

@@ -228,6 +228,13 @@ class _FallbackToStdlib(Exception):
 _CLASS_RE = re.compile(
     r"""[\s"']class\s*=\s*("([^"]*)"|'([^']*)'|([^\s>/]+))""", re.IGNORECASE
 )
+# stdlib closes comments with _markupbase._commentclose = r'--\s*>' —
+# whitespace IS allowed between -- and > ('<!--x--\n>' ends the comment).
+# Same pattern verbatim (deliberately NOT re.ASCII: this REPLICATES
+# stdlib, it does not approximate it, so exotic-whitespace closers must
+# match too). A literal find('-->') here mis-parsed '--\n>' closers —
+# caught by the 20k-example differential fuzz, round 5.
+_COMMENT_CLOSE_RE = re.compile(r"--\s*>")
 # stdlib exits CDATA mode only on a STRICT close tag r'</\s*tag\s*>' with
 # the exact element name — '</scriptx>' or '</script x=1>' stay inside.
 # Only script/style: stdlib's CDATA_CONTENT_ELEMENTS excludes noscript/
@@ -324,14 +331,26 @@ def _fast_parse(html: str) -> list[Block]:
                         blk.link_chars += len(" ".join(s.split()))
                 if lt < 0:
                     break
-            if html.startswith("<!--", lt):
-                end = find("-->", lt + 4)
-                if end < 0:
+            nxt = html[lt + 1] if lt + 1 < n else ""
+            # comment check only under '!' — '<!--' implies nxt == '!', so
+            # hoisting the nxt dispatch saves a startswith per tag (~200
+            # tags/page) with identical semantics
+            if nxt == "!" and html.startswith("<!--", lt):
+                cm = _COMMENT_CLOSE_RE.search(html, lt + 4)
+                if cm is None:
                     # invalid/unterminated comment ('<!-->', '<!--->', or
                     # EOF): stdlib close() emits through the next '>' as
-                    # data and resumes; no '>' at all flushes the remainder
+                    # data and resumes; with no '>', it emits only up to
+                    # the NEXT '<' (exclusive) and reprocesses from there
+                    # — NOT the whole remainder (goahead(end=1) recovery;
+                    # round-5 differential-fuzz fix, the one-fragment
+                    # flush drifted link_chars by the collapsed gap)
                     g = find(">", lt + 1)
-                    s = html[lt:] if g < 0 else html[lt : g + 1]
+                    if g < 0:
+                        g2 = find("<", lt + 1)
+                        s = html[lt:] if g2 < 0 else html[lt:g2]
+                    else:
+                        s = html[lt : g + 1]
                     if s and skip_depth == 0 and open_blocks:
                         if "&" in s:
                             s = unescape(s)
@@ -339,17 +358,20 @@ def _fast_parse(html: str) -> list[Block]:
                         blk._parts.append(s)
                         if anchor_depth > 0:
                             blk.link_chars += len(" ".join(s.split()))
-                    if g < 0:
+                    if g >= 0:
+                        i = g + 1
+                        continue
+                    if g2 < 0:
                         break
-                    i = g + 1
+                    i = g2
                     continue
-                i = end + 3
+                i = cm.end()
                 continue
-            nxt = html[lt + 1] if lt + 1 < n else ""
             if nxt in ("!", "?"):
                 end = find(">", lt + 2)
-                if end < 0:  # unterminated decl/PI: flushed as data
-                    s = html[lt:]
+                if end < 0:  # unterminated decl/PI: data up to next '<'
+                    g2 = find("<", lt + 1)
+                    s = html[lt:] if g2 < 0 else html[lt:g2]
                     if s and skip_depth == 0 and open_blocks:
                         if "&" in s:
                             s = unescape(s)
@@ -357,7 +379,10 @@ def _fast_parse(html: str) -> list[Block]:
                         blk._parts.append(s)
                         if anchor_depth > 0:
                             blk.link_chars += len(" ".join(s.split()))
-                    break
+                    if g2 < 0:
+                        break
+                    i = g2
+                    continue
                 i = end + 1
                 continue
             is_letter = "a" <= nxt <= "z" or "A" <= nxt <= "Z"
@@ -367,10 +392,12 @@ def _fast_parse(html: str) -> list[Block]:
             ):
                 # '</' + non-name: html.parser consumes it as a bogus
                 # comment (up to and including the next '>'), emitting
-                # nothing; if no '>' follows, close() flushes the remainder
+                # nothing; if no '>' follows, close() emits data up to
+                # the next '<' and reprocesses from there
                 end = find(">", lt + 2)
                 if end < 0:
-                    s = html[lt:]
+                    g2 = find("<", lt + 1)
+                    s = html[lt:] if g2 < 0 else html[lt:g2]
                     if s and skip_depth == 0 and open_blocks:
                         if "&" in s:
                             s = unescape(s)
@@ -378,7 +405,10 @@ def _fast_parse(html: str) -> list[Block]:
                         blk._parts.append(s)
                         if anchor_depth > 0:
                             blk.link_chars += len(" ".join(s.split()))
-                    break
+                    if g2 < 0:
+                        break
+                    i = g2
+                    continue
                 i = end + 1
                 continue
             if not is_letter and nxt != "/":
@@ -393,8 +423,12 @@ def _fast_parse(html: str) -> list[Block]:
             m = tag_match(html, lt)
             if not m:
                 if find(">", lt) < 0:
-                    # incomplete tag at EOF: close() flushes it as data
-                    s = html[lt:]
+                    # incomplete tag at EOF: close() emits data up to the
+                    # next '<' and reprocesses from there (never the whole
+                    # remainder in one fragment — the whitespace-collapse
+                    # of a merged fragment drifts link_chars)
+                    g2 = find("<", lt + 1)
+                    s = html[lt:] if g2 < 0 else html[lt:g2]
                     if s and skip_depth == 0 and open_blocks:
                         if "&" in s:
                             s = unescape(s)
@@ -402,7 +436,10 @@ def _fast_parse(html: str) -> list[Block]:
                         blk._parts.append(s)
                         if anchor_depth > 0:
                             blk.link_chars += len(" ".join(s.split()))
-                    break
+                    if g2 < 0:
+                        break
+                    i = g2
+                    continue
                 raise _FallbackToStdlib  # tag outside the well-formed subset
             end_g, name, attrs_s, slash = m.group("end", "name", "attrs", "slash")
             name = name.lower()
