@@ -33,7 +33,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(spark_df, duck_rel) -> tuple[bool, str]:
-    """Exact comparison (float columns bitwise via float64 equality)."""
+    """Exact comparison (float columns bitwise via float64 equality).
+
+    Type-strict across the numeric divide: an integer column on one side
+    and a float column on the other FAILS even if values coincide after
+    float64 coercion — the driver's hash is type-sensitive, and coercing
+    here is exactly the blind spot that let host_graph_pagerank's HUGEINT
+    oracle output (pandas-materialized as float64) stay locally green
+    while the round-5 driver row went red (VERDICT r5 #2)."""
     s = normalize(spark_df.toPandas())
     o = normalize(duck_rel.df())
     if list(s.columns) != list(o.columns):
@@ -42,6 +49,15 @@ def compare(spark_df, duck_rel) -> tuple[bool, str]:
         return False, f"shape differs: {s.shape} vs {o.shape}"
     for c in s.columns:
         a, b = s[c], o[c]
+        int_vs_float = {a.dtype.kind, b.dtype.kind} == {"i", "f"} or (
+            {a.dtype.kind, b.dtype.kind} == {"u", "f"}
+        )
+        if int_vs_float:
+            return False, (
+                f"col {c} dtype mismatch across the int/float divide: "
+                f"spark={a.dtype} vs oracle={b.dtype} — the driver's hash is "
+                "type-sensitive; cast the oracle (or the Spark side) explicitly"
+            )
         if a.dtype.kind in "fc" or b.dtype.kind in "fc":
             ok = a.astype("float64").equals(b.astype("float64"))
         else:

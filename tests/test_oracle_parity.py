@@ -34,3 +34,29 @@ def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+# DuckDB types pandas cannot materialize as int64: HUGEINT/UHUGEINT come
+# back float64 and DECIMAL comes back object/float — either way the
+# driver's type-sensitive hash diverges from Spark's integer result even
+# when every value matches (round-5's host_graph_pagerank red row: DuckDB
+# promotes SUM(BIGINT) to HUGEINT and the final projection shipped it
+# uncast). Invariant 2 says cast exact aggregates at the end; this test
+# enforces it REGISTRY-WIDE at the oracle-relation level so the class of
+# bug can never reach the driver again.
+_BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_output_types_driver_safe(con, name):
+    rel = con.sql(ORACLES[name])
+    offenders = [
+        f"{col}:{dtype}"
+        for col, dtype in zip(rel.columns, map(str, rel.types))
+        if any(b in str(dtype).upper() for b in _BANNED_DUCK_TYPES)
+    ]
+    assert not offenders, (
+        f"{name}: oracle output column(s) {offenders} would materialize as "
+        "float64/object in pandas while Spark returns exact integers — add a "
+        "terminal CAST (invariant 2)"
+    )

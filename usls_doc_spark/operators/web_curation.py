@@ -592,7 +592,7 @@ r0 AS (
         prev = cur
     sql += f"""
 SELECT 'site' || {d.str_cast("r.h")} AS host,
-       r.rank AS authority,
+       CAST(r.rank AS BIGINT) AS authority,
        o.od AS out_links
 FROM {prev} r LEFT JOIN outdeg o ON r.h = o.src
 """

@@ -199,27 +199,84 @@ def _sim_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
-# Queries with multiple rounds of green driver rows: they register LAST so
-# that if the driver's correctness harness truncates (round 3 checked
-# exactly the first 50 of 54 registered — the tail), the untested residue
-# is the multiply-certified set, never a novel path (round-3 VERDICT
-# item 1). Thirty-two members for round 5: the registry is 82 queries
-# (url_canonicalize_agg, streaming_click_attribution_outer/_full,
-# pii_redact, host_graph_pagerank, ngram_counts, line_freq_filter,
-# hll_distinct_chunks, streaming_sessionize, dedup_simhash,
-# bloom_dedup_probe, cms_heavy_hitters, priority_sample_weighted,
-# token_quantiles, streaming_enrich_events, cdc_upsert_compact,
-# zorder_cluster, dup_window_fraction, multimodal_frame_sample,
-# streaming_cms_sketch, funnel_conversion and cohort_retention added to
-# the at-risk head/body), so a 50-row cap truncates exactly this
-# tail — every member
-# promoted this round (events_pivot, q17_small_quantity, events_rollup,
-# customers_without_orders, asof_join_purchases, events_sessionize,
-# q1_pricing_summary, q3_top_orders, q5_region_revenue,
-# top_customers_per_segment, events_tumbling_window, q4_priority_semi,
-# orders_running_total, corpus_curation, ann_topk_cosine,
-# ann_lsh_buckets, dedup_embedding_cosine, dedup_ngram_jaccard) carries
-# FOUR green driver rows (r1-r4) plus every round's parity suite.
+# Registration ORDER is the driver contract (round-3 VERDICT item 1: the
+# driver checks queries in registration order and has truncated at exactly
+# 50 rows). Round 6 replaces the hand-wired head/tail split with a
+# deterministic LEAST-CERTIFIED-FIRST sort: _GREEN_ROWS records each
+# query's green driver-row count through CORRECTNESS_r05 (exact per-round
+# histories in those committed files — counts here are GREEN rows, so
+# host_graph_pagerank's r5 red row does not count and multimodal_features /
+# ocr_regions_detail exclude their r1 reds), new queries default to 0 and
+# therefore register right after the pins, and ties keep construction
+# order. A 50-row driver cap then always lands on the most-certified
+# residue — never a novel path — with no per-round hand curation.
+_GREEN_ROWS = {
+    # 5 green rows (r1-r5)
+    "extract_text": 5, "extract_metrics": 5, "extract_block_hist": 5,
+    "ocr_spans": 5,
+    # 4 green rows
+    "ocr_regions_detail": 4, "q4_priority_semi": 4,
+    "customers_without_orders": 4, "q17_small_quantity": 4,
+    "q1_pricing_summary": 4, "q3_top_orders": 4, "q5_region_revenue": 4,
+    "top_customers_per_segment": 4, "orders_running_total": 4,
+    "events_sessionize": 4, "events_tumbling_window": 4, "events_pivot": 4,
+    "events_rollup": 4, "asof_join_purchases": 4, "corpus_curation": 4,
+    "dedup_minhash_lsh": 4, "dedup_ngram_jaccard": 4, "ann_topk_cosine": 4,
+    "dedup_embedding_cosine": 4, "ann_lsh_buckets": 4, "ann_ivf_probe": 4,
+    "lang_word_rank": 4, "streaming_events_window": 4,
+    "trocr_transcripts": 4, "layout_instances": 4, "table_cells": 4,
+    # 3 green rows
+    "multimodal_features": 3, "q6_revenue_delta": 3, "lang_setops": 3,
+    "fingerprint_rolling_hash": 3, "text_stats": 3, "token_count_bpe": 3,
+    "lang_detect_stopwords": 3, "quality_score": 3, "fingerprint_simhash": 3,
+    "dedup_exact": 3, "dedup_incremental": 3, "streaming_dedup_exact": 3,
+    "raster_ocr_regions": 3, "raster_ocr_spans": 3, "raster_extract_text": 3,
+    "raster_layout_blocks": 3, "lsh_recall": 3,
+    "decontaminate_ngram_overlap": 3, "repetition_filter": 3,
+    "host_cap_sample": 3, "split_and_pack": 3, "dedup_components": 3,
+    # 2 green rows (quality_ngram_familiarity's are STALE — r2/r3 only;
+    # the pin below rotates it to the head for round 6, r5 VERDICT item 3)
+    "quality_ngram_familiarity": 2, "streaming_extract_text": 2,
+    "url_canonicalize": 2, "paragraph_dedup": 2, "stratified_sample": 2,
+    "inverted_index": 2, "tfidf_top_terms": 2,
+    "streaming_click_attribution": 2,
+    # 1 green row (the round-5 additions)
+    "multimodal_frame_sample": 1, "streaming_sessionize": 1,
+    "streaming_enrich_events": 1, "streaming_cms_sketch": 1,
+    "url_canonicalize_agg": 1, "pii_redact": 1, "ngram_counts": 1,
+    "line_freq_filter": 1, "hll_distinct_chunks": 1, "bloom_dedup_probe": 1,
+    "cms_heavy_hitters": 1, "priority_sample_weighted": 1,
+    "streaming_click_attribution_outer": 1,
+    "streaming_click_attribution_full": 1, "funnel_conversion": 1,
+    "cohort_retention": 1, "token_quantiles": 1, "cdc_upsert_compact": 1,
+    "zorder_cluster": 1, "dup_window_fraction": 1, "dedup_simhash": 1,
+    # 0 green rows: r5 driver row was red (oracle HUGEINT type, fixed r6)
+    "host_graph_pagerank": 0,
+}
+
+# Pinned to the very front regardless of count: the flagship (driver smoke
+# entry), then the round-6 re-certification targets (r5 VERDICT items 1/3/4).
+_HEAD_PINS = ("extract_text", "host_graph_pagerank",
+              "quality_ngram_familiarity")
+
+
+def _order_registry(queries: dict, oracles: dict) -> tuple[dict, dict]:
+    """Reorder both dicts least-certified-first with _HEAD_PINS in front."""
+    def sort_key(item):
+        idx, name = item
+        if name in _HEAD_PINS:
+            return (0, _HEAD_PINS.index(name), 0)
+        return (1, _GREEN_ROWS.get(name, 0), idx)
+
+    ordered = [n for _, n in sorted(
+        ((i, n) for i, n in enumerate(queries)), key=sort_key)]
+    return ({n: queries[n] for n in ordered}, {n: oracles[n] for n in ordered
+                                               if n in oracles})
+
+
+# Construction-order grouping below is now organizational only (the final
+# _order_registry pass determines driver order); kept so multiply-certified
+# relational/text/similarity members still register through the shared loops.
 _CERTIFIED_TAIL = ("text_stats", "token_count_bpe", "quality_score",
                    "fingerprint_simhash", "lang_detect_stopwords",
                    "dedup_exact", "fingerprint_rolling_hash",
@@ -241,11 +298,10 @@ def build_registry() -> tuple[dict, dict]:
     """Returns (queries, oracles) for the driver contract.
 
     ORDER IS THE DRIVER CONTRACT (round-3 VERDICT item 1): the driver
-    checks queries in registration order and truncated at 50/54 in round 3
-    — exactly the last four registered. Never-yet-driver-checked and
-    single-certification queries therefore register FIRST (streaming +
-    multimodal right after the flagship), and _CERTIFIED_TAIL register
-    last."""
+    checks queries in registration order and truncated at 50/54 in round 3.
+    Since round 6 the order is computed by _order_registry — _HEAD_PINS
+    first, then ascending green-driver-row count (_GREEN_ROWS; new queries
+    count 0) — so a driver cap always truncates the most-certified tail."""
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
 
@@ -444,4 +500,4 @@ def build_registry() -> tuple[dict, dict]:
             queries[name] = _sql_query(name)
             oracles[name] = TEXT_QUERIES[name](DUCK)
 
-    return queries, oracles
+    return _order_registry(queries, oracles)
