@@ -91,6 +91,15 @@ def test_reliable_checkpoint_dir_is_used_and_result_identical(
         os.path.join(d, f) for d, _, fs in os.walk(ckpt) for f in fs
     ]
     assert written, "no reliable checkpoint files under checkpoint_dir"
+    # retired rounds' checkpoints are deleted as the loop advances (round-5
+    # ADVICE): only the FINAL round's rdd-* dir — the one backing the
+    # returned DataFrame — may remain in the fault-tolerant store
+    import glob
+
+    remaining = glob.glob(f"{ckpt}/*/rdd-*")
+    assert len(remaining) <= 1, remaining
+    # and the returned labels stay readable off that surviving checkpoint
+    assert {r.doc_id: r.component_id for r in labels.collect()} == got
 
 
 def test_long_chain_converges_logarithmically(spark):

@@ -119,3 +119,63 @@ def test_resume_refuses_rebinned_shards(spark, packed_docs, tmp_path_factory):
     export_jsonl_shards(packed, docs, out, packs_per_shard=4)
     with pytest.raises(ValueError, match="packs_per_shard"):
         export_jsonl_shards(packed, docs, out, packs_per_shard=8, resume=True)
+
+
+def test_resume_rewrites_shard_recorded_but_lost_on_disk(
+    spark, packed_docs, tmp_path_factory
+):
+    """Round-5 ADVICE (medium): a shard present in the manifest whose FILE
+    was since deleted must be re-produced on resume — never silently
+    counted as complete."""
+    import shutil
+
+    packed, docs = packed_docs
+    out = str(tmp_path_factory.mktemp("shards_lost"))
+    export_jsonl_shards(packed, docs, out)
+    files = _shard_files(out)
+    original = {k: pathlib.Path(p).read_bytes() for k, p in files.items()}
+    lost = sorted(files)[0]
+    # delete the shard file but LEAVE its manifest entry (the blind-trust
+    # failure mode: storage loss after a successful export)
+    shutil.rmtree(str(pathlib.Path(files[lost]).parent))
+    assert lost in read_manifest(spark, out)["shards"]
+
+    summary = export_jsonl_shards(packed, docs, out, resume=True)
+    # the lost shard was NOT skipped...
+    assert summary["skipped_shards"] == len(files) - 1
+    after = _shard_files(out)
+    assert set(after) == set(files)
+    # ...and came back byte-identical (determinism contract)
+    assert pathlib.Path(after[lost]).read_bytes() == original[lost]
+    m = read_manifest(spark, out)
+    assert m["shards"][lost]["sha256"] == hashlib.sha256(
+        original[lost]
+    ).hexdigest()
+    assert summary["docs"] == docs.count()
+
+
+def test_corrupt_manifest_is_treated_as_absent(
+    spark, packed_docs, tmp_path_factory
+):
+    """Round-5 ADVICE (low): a truncated/corrupt manifest (crash mid-write
+    on a filesystem without atomic rename) must mean 'no resume state',
+    not a json.loads crash — the export rewrites deterministically."""
+    packed, docs = packed_docs
+    out = str(tmp_path_factory.mktemp("shards_corrupt"))
+    export_jsonl_shards(packed, docs, out)
+    files = _shard_files(out)
+    mpath = pathlib.Path(f"{out}/{MANIFEST_NAME}")
+    whole = mpath.read_text()
+    mpath.write_text(whole[: len(whole) // 2])  # truncated JSON
+    # the Hadoop local FS keeps a checksum sidecar; drop it so the raw
+    # truncated bytes are what read_manifest actually sees
+    crc = mpath.parent / f".{MANIFEST_NAME}.crc"
+    if crc.exists():
+        crc.unlink()
+    assert read_manifest(spark, out) is None
+
+    summary = export_jsonl_shards(packed, docs, out, resume=True)
+    assert summary["skipped_shards"] == 0
+    assert set(_shard_files(out)) == set(files)
+    m = read_manifest(spark, out)
+    assert set(m["shards"]) == set(files)

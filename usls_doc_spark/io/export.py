@@ -44,12 +44,23 @@ def _hadoop_fs(spark: SparkSession, path: str):
 
 
 def _write_text_file(spark: SparkSession, path: str, content: str) -> None:
+    """Atomic-ish small-file write: create a temp sibling, then rename into
+    place (atomic on HDFS/posix). A crash mid-write leaves only the temp
+    file — never a truncated manifest that poisons the next resume. The
+    delete+rename pair has a tiny window where the target is ABSENT, which
+    resume treats as a fresh export (correct, merely slower) — strictly
+    better than the truncated-JSON crash it replaces."""
     fs, p = _hadoop_fs(spark, path)
-    out = fs.create(p, True)
+    tmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(content.encode("utf-8")))
     finally:
         out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise IOError(f"rename {tmp} -> {p} failed")
 
 
 def _read_text_file(spark: SparkSession, path: str) -> str | None:
@@ -69,7 +80,31 @@ def _read_text_file(spark: SparkSession, path: str) -> str | None:
 
 def read_manifest(spark: SparkSession, out_dir: str) -> dict | None:
     raw = _read_text_file(spark, f"{out_dir}/{MANIFEST_NAME}")
-    return json.loads(raw) if raw is not None else None
+    if raw is None:
+        return None
+    try:
+        return json.loads(raw)
+    except json.JSONDecodeError:
+        # a corrupt/truncated manifest (e.g. from a pre-atomic-write
+        # version, or a filesystem without atomic rename) means "no resume
+        # state" — the export is rewritten deterministically, never crashed
+        return None
+
+
+def _existing_shard_keys(spark: SparkSession, out_dir: str) -> set[str]:
+    """'split=<s>/shard=<k>' keys whose shard FILE is actually on disk —
+    one globStatus listing, no per-key RPCs."""
+    fs, _ = _hadoop_fs(spark, out_dir)
+    glob = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{out_dir}/split=*/shard=*/*.txt"
+    )
+    statuses = fs.globStatus(glob)
+    keys: set[str] = set()
+    if statuses is not None:
+        for st in statuses:
+            parent = st.getPath().getParent()
+            keys.add(f"{parent.getParent().getName()}/{parent.getName()}")
+    return keys
 
 
 def _compute_shard_entries(
@@ -146,6 +181,13 @@ def export_jsonl_shards(
     spark = packed.sparkSession
     manifest = read_manifest(spark, out_dir) if resume else None
     done: dict[str, dict] = dict(manifest["shards"]) if manifest else {}
+    if done:
+        # never trust the manifest blindly: a recorded shard whose file was
+        # deleted/lost since must be re-produced, not silently counted as
+        # complete (one listing, then set-diff)
+        present = _existing_shard_keys(spark, out_dir)
+        for k in set(done) - present:
+            del done[k]
     if manifest and manifest.get("packs_per_shard") != packs_per_shard:
         raise ValueError(
             "resume with different packs_per_shard would re-bin shards: "

@@ -41,6 +41,31 @@ MAX_ITERS = 50  # pointer-jumping halves label-chain depth per round:
 #                 O(log2(diameter)) rounds, so 50 covers diameter ~2**50
 
 
+def _qualified(spark: SparkSession, path: str) -> str:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.makeQualified(p).toString()
+
+
+def _rdd_ckpt_dirs(spark: SparkSession, checkpoint_dir: str) -> set[str]:
+    """The rdd-<id> checkpoint directories currently under the context's
+    checkpoint root — one globStatus listing."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    st = fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/*/rdd-*"))
+    return set() if st is None else {s.getPath().toString() for s in st}
+
+
+def _delete_dirs(spark: SparkSession, dirs: set[str]) -> None:
+    jvm = spark._jvm
+    for d in dirs:
+        p = jvm.org.apache.hadoop.fs.Path(d)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(p, True)
+
+
 def min_label_components(
     edges: DataFrame,
     max_iters: int = MAX_ITERS,
@@ -58,8 +83,30 @@ def min_label_components(
     With a directory set (hdfs://... on a real cluster), rounds use
     RELIABLE checkpoints: the labels are persisted to the fault-tolerant
     store and an executor loss re-reads them instead of recomputing."""
+    spark = edges.sparkSession
+    effective_ckpt: str | None = None
     if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        # setCheckpointDir is CONTEXT-GLOBAL: never silently repoint a dir
+        # another caller already set (round-5 ADVICE). Reuse the existing
+        # one with a loud warning instead — any reliable dir satisfies the
+        # executor-loss guarantee this option exists for.
+        current = spark.sparkContext.getCheckpointDir()
+        qualified = _qualified(spark, checkpoint_dir)
+        if current is None:
+            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+            effective_ckpt = qualified
+        else:
+            if current != qualified:
+                import warnings
+
+                warnings.warn(
+                    f"SparkContext checkpoint dir already set to {current!r}; "
+                    f"using it instead of repointing to {qualified!r} "
+                    "(setCheckpointDir is global to the context)",
+                    stacklevel=2,
+                )
+            effective_ckpt = current
+    prev_round_dirs: set[str] = set()
     und = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -107,10 +154,13 @@ def min_label_components(
             # driver OOM by ~10 rounds); checkpointing materializes AND
             # cuts the plan, which cache() alone does not. local = fast,
             # executor-memory resident; reliable = survives executor loss
-            if checkpoint_dir is not None:
+            if effective_ckpt is not None:
+                before = _rdd_ckpt_dirs(spark, effective_ckpt)
                 new_labels = new_labels.checkpoint(eager=True)
+                round_dirs = _rdd_ckpt_dirs(spark, effective_ckpt) - before
             else:
                 new_labels = new_labels.localCheckpoint(eager=True)
+                round_dirs = set()
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "doc_id")
@@ -120,9 +170,19 @@ def min_label_components(
             old = labels
             labels = new_labels
             old.unpersist()
+            # round N-1's reliable checkpoint is dead once round N is
+            # materialized AND the convergence count (the last reader of
+            # the old labels) has run — delete it so iterations don't
+            # accumulate files in the fault-tolerant store. The FINAL
+            # round's checkpoint stays: it backs the returned DataFrame.
+            if prev_round_dirs:
+                _delete_dirs(spark, prev_round_dirs)
+            prev_round_dirs = round_dirs
             if changed == 0:
                 return labels
         labels.unpersist()
+        if prev_round_dirs:
+            _delete_dirs(spark, prev_round_dirs)
         raise RuntimeError(f"components did not converge in {max_iters} rounds")
     finally:
         und.unpersist()

@@ -78,7 +78,11 @@ def _sessionize_group(key, pdfs, state: GroupState):
     if not len(ev):
         return
     ev = ev.sort_values(["ts", "event_id"], kind="mergesort")
-    ts_us = (ev["ts"].astype("int64") // 1_000).to_numpy()  # epoch micros: the source carries microsecond precision
+    # pin the resolution BEFORE the integer cast: a future pandas/pyarrow
+    # default of datetime64[us] would silently make //1000 yield millis
+    ts_us = (
+        ev["ts"].astype("datetime64[ns]").astype("int64") // 1_000
+    ).to_numpy()  # epoch micros: the source carries microsecond precision
     if state.exists:
         gen, n_sessions, n_events, first_us, last_us = state.get
     else:

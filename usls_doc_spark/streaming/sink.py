@@ -25,6 +25,20 @@ def read_sink_or_empty(spark: SparkSession, sink_dir: str, schema: str) -> DataF
     try:
         return spark.read.schema(schema).parquet(sink_dir)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+        # prefer the structured error class (stable across Spark versions;
+        # getCondition supersedes getErrorClass in Spark 4) and keep the
+        # message-substring check only as a legacy fallback
+        err_class = None
+        for attr in ("getCondition", "getErrorClass"):
+            getter = getattr(e, attr, None)
+            if getter is not None:
+                err_class = getter()
+                if err_class:
+                    break
+        if (
+            err_class == "PATH_NOT_FOUND"
+            or (err_class is None
+                and ("PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)))
+        ):
             return spark.createDataFrame([], schema)
         raise
