@@ -81,6 +81,25 @@ BENCH_QUERIES = [
     "cohort_retention",
 ]
 
+# Streaming surface (round-5 VERDICT item 5): each callable drains a full
+# Structured Streaming run (readStream -> foreachBatch parquet sink) and
+# returns the sink read-back, so the timing covers trigger scheduling,
+# state management, and the sink write — the parts a streaming regression
+# would live in. Timed ONCE each (the JVM is warm after the batch suite,
+# and a drain already spans many micro-batches, so per-run jitter is
+# amortized inside the measurement rather than across runs).
+STREAMING_BENCH = [
+    "streaming_extract_text",
+    "streaming_events_window",
+    "streaming_dedup_exact",
+    "streaming_sessionize",
+    "streaming_enrich_events",
+    "streaming_cms_sketch",
+    "streaming_click_attribution",
+    "streaming_click_attribution_outer",
+    "streaming_click_attribution_full",
+]
+
 
 def _loadavg() -> list[float]:
     try:
@@ -161,6 +180,12 @@ def main() -> None:
     # --- operator suite ---------------------------------------------------
     for name in BENCH_QUERIES:
         timings[name] = round(timed_warm(lambda: noop(queries[name](spark, SF_DIR))), 3)
+
+    # --- streaming suite (single drained run each; see STREAMING_BENCH) ---
+    for name in STREAMING_BENCH:
+        t0 = time.monotonic()
+        noop(queries[name](spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
