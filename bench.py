@@ -79,6 +79,11 @@ BENCH_QUERIES = [
     "multimodal_frame_sample",
     "funnel_conversion",
     "cohort_retention",
+    # round-6 additions: training-mix planning + crawl-frontier lens
+    "domain_mix_weights",
+    "bpe_merge_step",
+    "kmeans_lloyd_step",
+    "anchor_text_agg",
 ]
 
 # Streaming surface (round-5 VERDICT item 5): each callable drains a full

@@ -1,0 +1,144 @@
+"""Training-mix operators (round 6): independent stdlib/numpy oracles —
+the same values the SQL templates compute, derived with NO shared code —
+plus plan-shape assertions for the 100 TB arguments."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+from usls_doc_spark.operators.text_queries import render_duck, render_spark
+from usls_doc_spark.operators.training_mix import (
+    BPE_TOP_K,
+    KMEANS_DIMS,
+    KMEANS_K,
+    KMEANS_SCALE,
+    MIX_LAMBDA_PPM,
+)
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return duckdb.sql(
+        f"SELECT doc_id, text, source FROM '{SF_DIR}/documents.parquet'"
+    ).df()
+
+
+def test_domain_mix_weights_matches_counter_reference(spark, docs):
+    from collections import defaultdict
+
+    tok = defaultdict(int)
+    n_docs = defaultdict(int)
+    for _, r in docs.iterrows():
+        tok[r["source"]] += len(r["text"].split(" "))
+        n_docs[r["source"]] += 1
+    total = sum(tok.values())
+    k = len(tok)
+    want = {}
+    for s in tok:
+        w = MIX_LAMBDA_PPM // k + (1_000_000 - MIX_LAMBDA_PPM) * tok[s] // total
+        want[s] = (n_docs[s], tok[s], w, w * total // tok[s])
+
+    from usls_doc_spark.queries import _register_views
+
+    _register_views(spark, SF_DIR)
+    got = {
+        r["source"]: (r["n_docs"], r["n_tokens"], r["weight_ppm"], r["rep_ppm"])
+        for r in spark.sql(render_spark("domain_mix_weights")).collect()
+    }
+    assert got == want
+    # smoothing sanity: weights form a (floor-rounded) distribution
+    assert 1_000_000 - len(want) * 2 <= sum(v[2] for v in want.values()) <= 1_000_000
+
+
+def test_bpe_merge_step_matches_counter_reference(spark, docs):
+    from collections import Counter
+
+    pairs = Counter()
+    for t in docs["text"]:
+        for w in t.split(" "):
+            for i in range(len(w) - 1):
+                pairs[w[i : i + 2]] += 1
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_K]
+
+    from usls_doc_spark.queries import _register_views
+
+    _register_views(spark, SF_DIR)
+    got = [(r["pair"], r["n"]) for r in spark.sql(render_spark("bpe_merge_step")).collect()]
+    assert got == want
+
+
+def test_kmeans_lloyd_step_matches_numpy_reference(spark):
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    vecs = np.stack(emb["embedding"].to_numpy())  # float32 [N, 64]
+    # the SQL quantization: round(double(x) * 1e6), half away from zero
+    q = np.floor(np.abs(vecs.astype(np.float64)) * KMEANS_SCALE + 0.5).astype(
+        np.int64
+    ) * np.sign(vecs).astype(np.int64)
+    cents = q[:KMEANS_K]
+    d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)  # [N, K]
+    assign = (d2 * KMEANS_K + np.arange(KMEANS_K)).min(axis=1) % KMEANS_K
+    want = {}
+    for c in range(KMEANS_K):
+        members = q[assign == c]
+        if len(members) == 0:
+            continue
+        for dim in range(KMEANS_DIMS):
+            want[(c, dim + 1)] = (
+                members[:, dim].sum() / (len(members) * float(KMEANS_SCALE)),
+                len(members),
+            )
+
+    from usls_doc_spark.queries import _register_views
+
+    _register_views(spark, SF_DIR)
+    got = {
+        (r["cluster"], r["dim_idx"]): (r["centroid_val"], r["n_members"])
+        for r in spark.sql(render_spark("kmeans_lloyd_step")).collect()
+    }
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][1] == want[key][1], key
+        assert got[key][0] == pytest.approx(want[key][0], abs=0, rel=0), key
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bpe_merge_plan_bounded_topk_no_window(spark):
+    from usls_doc_spark.queries import _register_views
+
+    _register_views(spark, SF_DIR)
+    plan = _plan(spark.sql(render_spark("bpe_merge_step")))
+    assert "TakeOrderedAndProject" in plan  # bounded heap, no global sort
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial combine
+
+
+def test_kmeans_plan_broadcasts_centroids_no_window(spark):
+    from usls_doc_spark.queries import _register_views
+
+    _register_views(spark, SF_DIR)
+    plan = _plan(spark.sql(render_spark("kmeans_lloyd_step")))
+    assert "Window" not in plan
+    # the K-row centroid side reaches every mapper via broadcast, and the
+    # assignment never cartesian-expands on the big side
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_domain_mix_plan_single_agg_no_window(spark):
+    from usls_doc_spark.queries import _register_views
+
+    _register_views(spark, SF_DIR)
+    plan = _plan(spark.sql(render_spark("domain_mix_weights")))
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final source agg
+
+
+def test_duck_and_spark_renderings_agree_on_shape():
+    for q in ("domain_mix_weights", "bpe_merge_step", "kmeans_lloyd_step"):
+        assert render_duck(q) != render_spark(q)  # genuinely two dialects

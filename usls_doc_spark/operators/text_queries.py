@@ -901,6 +901,7 @@ FROM codes
 """
 
 
+from .training_mix import TRAINING_QUERIES  # noqa: E402  (template dict merge)
 from .web_curation import WEB_QUERIES  # noqa: E402  (template dict merge)
 
 DUPWIN_WORDS = 16  # sliding window length (words)
@@ -1114,6 +1115,8 @@ TEXT_QUERIES = {
     # web-curation family (operators/web_curation.py) — registered EARLY in
     # queries.build_registry (never yet driver-checked; see its docstring)
     **WEB_QUERIES,
+    # training-mix planning family (operators/training_mix.py, round 6)
+    **TRAINING_QUERIES,
     "token_quantiles": q_token_quantiles,
     "cdc_upsert_compact": q_cdc_upsert_compact,
     "zorder_cluster": q_zorder_cluster,

@@ -1,0 +1,163 @@
+"""Training-mix planning operators: domain reweighting, one BPE-trainer
+merge step, and one Lloyd (k-means) iteration over embeddings.
+
+These are the "what do we actually feed the trainer" stage of a
+large-scale data pipeline, downstream of curation/dedup:
+
+  * domain_mix_weights — DoReMi/Pile-style source reweighting: per-source
+    token mass smoothed against the uniform mixture, in FIXED-POINT
+    integer arithmetic (parts-per-million) so both dialects are exact.
+  * bpe_merge_step — the inner loop of a BPE tokenizer trainer: corpus-
+    wide adjacent character-pair frequencies within words, top merges by
+    (count DESC, pair ASC). The pair key space is bounded by charset^2,
+    so the aggregation's state is bounded regardless of corpus size.
+  * kmeans_lloyd_step — one assignment+update iteration of Lloyd's
+    algorithm over the embeddings table against K fixed seed centroids
+    (the embedding-clustering step an IVF index build or a semantic-
+    domain mixer runs). Distances are computed on 1e6-quantized integer
+    coordinates (exact in both engines; no float SUM reassociation), the
+    argmin is a single integer MIN via dist*K+cid encoding, and the
+    centroid update emits exact integer sums divided once at the end.
+
+Scale shapes (100 TB):
+  * domain_mix_weights: one hash agg to n_sources rows (map-side
+    combinable), then a broadcast of the 1-row total.
+  * bpe_merge_step: flatMap to pair tokens -> hash agg bounded by
+    charset^2 partials per mapper -> TakeOrderedAndProject top-K.
+  * kmeans_lloyd_step: K centroid rows broadcast to every mapper
+    (BroadcastNestedLoopJoin over 8 rows), per-row argmin map-side; the
+    update is a hash agg keyed (cluster, dim) with K*64 groups.
+
+Like the rest of the web-curation family these have no reference-repo
+analogue (the reference is a layout/OCR engine); they extend the engine
+toward the LLM-data-pipeline surface the build brief mandates.
+"""
+
+from __future__ import annotations
+
+from .dialect import Dialect, balanced_sum
+
+MIX_LAMBDA_PPM = 300_000  # uniform-smoothing weight (0.3), parts-per-million
+BPE_TOP_K = 32
+KMEANS_K = 8
+KMEANS_DIMS = 64
+KMEANS_SCALE = 1_000_000  # 1e6 fixed-point quantization of f32 coords
+
+
+def q_domain_mix_weights(d: Dialect) -> str:
+    """Smoothed source-mix weights: w_i = lambda/K + (1-lambda) * tok_i/T,
+    all in integer ppm — weight_ppm sums to ~1e6 over sources (floor
+    rounding). rep_ppm is the per-source oversampling factor relative to
+    one uniform pass (weight / natural share), ppm fixed-point: rep > 1e6
+    means the source is upsampled. Exact integer arithmetic end to end."""
+    n_tok = d.array_len(d.split("text"))
+    return f"""
+WITH per_source AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         SUM(CAST({n_tok} AS BIGINT)) AS n_tokens
+  FROM documents
+  GROUP BY source
+),
+tot AS (
+  SELECT SUM(n_tokens) AS total_tokens,
+         COUNT(*) AS n_sources
+  FROM per_source
+)
+SELECT s.source,
+       s.n_docs,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST({d.intdiv(str(MIX_LAMBDA_PPM), "t.n_sources")}
+         + {d.intdiv(f"{1_000_000 - MIX_LAMBDA_PPM} * s.n_tokens", "t.total_tokens")}
+         AS BIGINT) AS weight_ppm,
+       CAST({d.intdiv(
+           f"({d.intdiv(str(MIX_LAMBDA_PPM), 't.n_sources')}"
+           f" + {d.intdiv(f'{1_000_000 - MIX_LAMBDA_PPM} * s.n_tokens', 't.total_tokens')})"
+           " * t.total_tokens",
+           "s.n_tokens",
+       )} AS BIGINT) AS rep_ppm
+FROM per_source s CROSS JOIN tot t
+"""
+
+
+def q_bpe_merge_step(d: Dialect) -> str:
+    """One BPE-trainer merge iteration: adjacent character-pair counts
+    within whitespace words, corpus-wide, top-{BPE_TOP_K} candidate merges
+    by (count DESC, pair ASC). Deterministic: the tie-break is total."""
+    words = d.split("text")
+    return f"""
+WITH words AS (
+  SELECT w FROM documents {d.explode(words, "w")}
+),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair
+  FROM words {d.explode(d.seq("1", "length(w) - 1"), "i")}
+  WHERE length(w) >= 2
+),
+counts AS (
+  SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair
+)
+SELECT pair, n
+FROM counts
+ORDER BY n DESC, pair
+LIMIT {BPE_TOP_K}
+"""
+
+
+def _quant(d: Dialect, arr: str, i: str) -> str:
+    el = d.element(arr, i)
+    return f"CAST(round(CAST({el} AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT)"
+
+
+def q_kmeans_lloyd_step(d: Dialect) -> str:
+    """One Lloyd iteration: assign every embedding to the nearest of the
+    K = {KMEANS_K} seed centroids (vec_id < K), then emit the updated
+    centroids in long form (cluster, dim_idx, centroid_val, n_members).
+
+    Exactness: coordinates are quantized to 1e6 fixed-point BIGINTs, so
+    the squared L2 distance is an exact integer (max ~6e12 << 2^63) and
+    cross-engine float SUM reassociation cannot occur; ties on distance
+    break to the smaller centroid id via the dist*K+cid integer encoding
+    (one MIN aggregate instead of an argmin struct, identical in both
+    dialects). The centroid update divides an exact integer sum by the
+    member count ONCE at the end (invariant 2)."""
+    dist_terms = [
+        f"({_quant(d, 'e.embedding', str(i))} - {_quant(d, 'c.embedding', str(i))})"
+        f" * ({_quant(d, 'e.embedding', str(i))} - {_quant(d, 'c.embedding', str(i))})"
+        for i in range(1, KMEANS_DIMS + 1)
+    ]
+    dist = balanced_sum(dist_terms)
+    return f"""
+WITH centroids AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {KMEANS_K}
+),
+assign AS (
+  SELECT e.vec_id,
+         CAST(MIN(({dist}) * {KMEANS_K} + c.cid) % {KMEANS_K} AS BIGINT)
+           AS cluster
+  FROM embeddings e CROSS JOIN centroids c
+  GROUP BY e.vec_id
+),
+vals AS (
+  SELECT a.cluster,
+         i AS dim_idx,
+         {_quant(d, "e.embedding", "i")} AS qval
+  FROM assign a
+  JOIN embeddings e ON a.vec_id = e.vec_id
+  {d.explode(d.seq("1", str(KMEANS_DIMS)), "i")}
+)
+SELECT cluster,
+       CAST(dim_idx AS BIGINT) AS dim_idx,
+       CAST(SUM(qval) AS DOUBLE) / (COUNT(*) * CAST({KMEANS_SCALE} AS DOUBLE))
+         AS centroid_val,
+       COUNT(*) AS n_members
+FROM vals
+GROUP BY cluster, dim_idx
+"""
+
+
+TRAINING_QUERIES = {
+    "domain_mix_weights": q_domain_mix_weights,
+    "bpe_merge_step": q_bpe_merge_step,
+    "kmeans_lloyd_step": q_kmeans_lloyd_step,
+}

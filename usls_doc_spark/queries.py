@@ -373,6 +373,14 @@ def build_registry() -> tuple[dict, dict]:
         queries[name] = _sql_query(name)
         oracles[name] = TEXT_QUERIES[name](DUCK)
 
+    # anchor-text aggregation from raw page HTML (round 6): the crawl-
+    # frontier lens — mapInPandas link scan + hot-key-safe hash agg,
+    # oracle rebuilds every page's links in SQL from the generator spec
+    from .pipeline.links import ANCHOR_AGG_ORACLE, anchor_text_agg
+
+    queries["anchor_text_agg"] = anchor_text_agg
+    oracles["anchor_text_agg"] = ANCHOR_AGG_ORACLE
+
     # stream-stream interval joins (streaming/attribution.py): the round-4
     # inner form and the round-5 LEFT-OUTER and FULL-OUTER forms
     # (unmatched rows emit with NULLs once the watermark closes them —
