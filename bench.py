@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "bpe_merge_step",
     "kmeans_lloyd_step",
     "anchor_text_agg",
+    "robots_policy_filter",
 ]
 
 # Streaming surface (round-5 VERDICT item 5): each callable drains a full

@@ -77,3 +77,45 @@ def test_corrupt_rows_degrade_not_fail(spark):
     assert out["u-bad-utf8"]["error"] is None  # decodes with replacement
     assert out["u-ok"]["error"] is None
     assert out["u-ok"]["extracted_text"] == "T hello world"
+
+
+def test_batched_rows_bitwise_equal_per_page_path():
+    """Round-6 kernel lever A/B: extract_rows (decode batched across the
+    whole Arrow batch) must be BITWISE identical to the per-page
+    extract_page path over the full corpus — including skew pages, table
+    pages, two-column pages, and interleaved corrupt rows."""
+    import duckdb
+    import numpy as np
+
+    from usls_doc_spark.io.synth import synth_page
+    from usls_doc_spark.kernels.stub_layout import StubLayoutModel
+    from usls_doc_spark.pipeline.extract import extract_page, extract_rows
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text, lang FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    htmls, urls = [], []
+    for i, (d, t, l) in enumerate(docs):
+        p = synth_page(d, t, l)
+        htmls.append(p["html"])
+        urls.append(p["url"])
+        if i % 97 == 0:  # interleave corrupt rows among real pages
+            htmls.append(None)
+            urls.append(f"u-null-{i}")
+    model = StubLayoutModel()
+    batched = extract_rows(htmls, urls, model)
+    for h, u, got in zip(htmls, urls, batched):
+        want = extract_page(h, u, model)
+        # float32 conf compared by exact bits via np.float32 equality
+        assert got["url"] == want["url"]
+        assert got["extracted_text"] == want["extracted_text"]
+        assert got["error"] == want["error"]
+        assert got["n_blocks"] == want["n_blocks"]
+        assert got["extracted_bytes"] == want["extracted_bytes"]
+        for gb, wb in zip(got["blocks"], want["blocks"]):
+            assert gb == wb or (
+                {k: v for k, v in gb.items() if k != "conf"}
+                == {k: v for k, v in wb.items() if k != "conf"}
+                and np.float32(gb["conf"]).tobytes()
+                == np.float32(wb["conf"]).tobytes()
+            ), u

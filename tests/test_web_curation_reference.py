@@ -397,3 +397,36 @@ def test_hll_distinct_chunks_vs_hashlib(spark, registry, docs_rows):
         assert g["hll_estimate"] == est, lang  # bit-identical IEEE division
         # accuracy: within 2 standard errors of the raw-HLL estimator
         assert abs(est / len(exact[lang]) - 1) <= 2 * 1.04 / math.sqrt(HLL_M), lang
+
+
+def test_robots_policy_filter_vs_stdlib_longest_match(spark, registry, docs_rows):
+    """RFC 9309 longest-match replay in plain Python (startswith + max by
+    prefix length) — no SQL shared with the template. Asserts both the
+    per-doc winner rule and that the override structure is actually
+    exercised (some docs re-allowed by a deep rule under a disallowed
+    section, some disallowed, some only root-matched)."""
+    rules = (
+        [("/", 1)]
+        + [(f"/s{k}/", 0) for k in range(10) if k % 3 == 0]
+        + [
+            (f"/s{k}/c{j}/", 1)
+            for k in range(10)
+            if k % 3 == 0
+            for j in range(100)
+            if j % 7 == 0
+        ]
+    )
+    want = {}
+    for doc_id, _text, _lang in docs_rows:
+        path = f"/s{doc_id % 10}/c{doc_id % 100}/p{doc_id}"
+        m = max(
+            (r for r in rules if path.startswith(r[0])), key=lambda r: len(r[0])
+        )
+        want[doc_id] = (path, m[0], m[1])
+    got = {
+        r["doc_id"]: (r["path"], r["rule_prefix"], r["allowed"])
+        for r in registry["robots_policy_filter"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    depths = Counter(v[1].count("/") for v in got.values())
+    assert depths[1] > 0 and depths[2] > 0 and depths[3] > 0, depths

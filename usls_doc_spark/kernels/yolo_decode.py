@@ -145,6 +145,101 @@ def decode_preds(
     )
 
 
+def decode_preds_batched(
+    preds_list: list[np.ndarray],
+    specs: list[LetterboxSpec],
+    names: tuple[str, ...] = DOCSTRUCTBENCH_NAMES,
+    confs: tuple[float, ...] = (0.4,),
+    iou_threshold: float = 0.45,
+    apply_nms: bool = True,
+) -> list[DecodedBoxes]:
+    """decode_preds over MANY pages in one numpy pass — bit-identical to
+    calling decode_preds per page (A/B-asserted in tests/test_extract
+    _pipeline.py): argmax/threshold/un-letterbox run on the concatenated
+    head with per-row ratio/pad gathers, so the per-call numpy overhead
+    (the dominant cost at ~50-anchor pages in this sandbox — CLAUDE.md
+    allocation gotcha) is paid once per BATCH instead of once per page.
+    NMS stays per page (its loop is over kept boxes, already tiny).
+
+    No class include/exclude filters here — the extraction pipeline does
+    not use them; callers needing those go through decode_preds."""
+    n_pages = len(preds_list)
+    out: list[DecodedBoxes | None] = [None] * n_pages
+    live: list[int] = []
+    arrays: list[np.ndarray] = []
+    for p, preds in enumerate(preds_list):
+        a = np.asarray(preds, dtype=np.float32)
+        if a.size == 0:
+            empty = np.empty((0, 4), dtype=np.float32)
+            no_ids = np.empty(0, dtype=np.int64)
+            out[p] = DecodedBoxes(
+                empty, no_ids, np.empty(0, dtype=np.float32), [], no_ids
+            )
+        else:
+            live.append(p)
+            arrays.append(a)
+    if not live:
+        return out  # type: ignore[return-value]
+
+    n_classes = len(names)
+    lens = np.asarray([len(a) for a in arrays], dtype=np.int64)
+    big = np.concatenate(arrays, axis=0)
+    page_of = np.repeat(np.arange(len(live), dtype=np.int64), lens)
+    # per-anchor id within its own page (the id_born contract)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    anchor_ids = np.arange(len(big), dtype=np.int64) - starts[page_of]
+
+    clss = big[:, 4 : 4 + n_classes]
+    class_ids = np.argmax(clss, axis=1)
+    confidences = clss[np.arange(len(clss)), class_ids].astype(np.float32)
+    thresholds = dyn_conf(confs, n_classes)
+    keep = confidences >= thresholds[class_ids]
+
+    boxes_raw = big[:, :4][keep]
+    class_ids = class_ids[keep]
+    confidences = confidences[keep]
+    anchor_ids = anchor_ids[keep]
+    kept_page = page_of[keep]
+
+    # per-row un-letterbox: gather each page's ratio/pads (float32, the
+    # same scalar ops decode_preds applies — broadcast per element)
+    ratios = np.asarray([specs[live[i]].ratio for i in range(len(live))],
+                        dtype=np.float32)
+    pl = np.asarray([specs[live[i]].pad_left for i in range(len(live))],
+                    dtype=np.float32)
+    pt = np.asarray([specs[live[i]].pad_top for i in range(len(live))],
+                    dtype=np.float32)
+    r = ratios[kept_page]
+    cx = (boxes_raw[:, 0] - pl[kept_page]) / r
+    cy = (boxes_raw[:, 1] - pt[kept_page]) / r
+    w = boxes_raw[:, 2] / r
+    h = boxes_raw[:, 3] / r
+    x = np.maximum(cx - w / np.float32(2.0), np.float32(0.0))
+    y = np.maximum(cy - h / np.float32(2.0), np.float32(0.0))
+    boxes = np.stack([x, y, w, h], axis=1).astype(np.float32)
+
+    # split survivors back per page (concatenation preserved anchor order,
+    # so each page's slice is already in decode_preds' row order)
+    bounds = np.searchsorted(kept_page, np.arange(len(live) + 1))
+    for j, p in enumerate(live):
+        lo, hi = int(bounds[j]), int(bounds[j + 1])
+        b = boxes[lo:hi]
+        ci = class_ids[lo:hi]
+        cf = confidences[lo:hi]
+        ai = anchor_ids[lo:hi]
+        if apply_nms and len(b):
+            kept_idx = nms_indices(b, cf, iou_threshold)
+            b, ci, cf, ai = b[kept_idx], ci[kept_idx], cf[kept_idx], ai[kept_idx]
+        out[p] = DecodedBoxes(
+            boxes=b,
+            class_ids=ci.astype(np.int64),
+            confs=cf.astype(np.float32),
+            names=[names[int(c)] for c in ci],
+            anchor_ids=ai,
+        )
+    return out  # type: ignore[return-value]
+
+
 def round_half_away(x: np.ndarray) -> np.ndarray:
     """Rust f32::round (half away from zero), NOT numpy banker's rounding.
 

@@ -1121,6 +1121,71 @@ JOIN exact e ON s.lang = e.lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Robots-policy filter (longest-prefix-match crawl politeness)
+# ---------------------------------------------------------------------------
+
+
+def q_robots_policy_filter(d: Dialect) -> str:
+    """Robots.txt-style URL filtering with the REAL robots longest-match
+    rule (RFC 9309 §2.2.2: the most specific matching path prefix wins,
+    allow or disallow). Paths are a closed-form function of doc_id
+    ('/s<doc%10>/c<doc%100>/p<doc>'), the rule set is generated in SQL:
+
+      '/'           allow      (the default)
+      '/s<k>/'      disallow   for k % 3 == 0   (blocked sections)
+      '/s<k>/c<j>/' allow      for j % 7 == 0   (re-allowed categories —
+                                 the deeper rule OVERRIDES the section
+                                 disallow, which is what longest-match is
+                                 for; naive any-disallow logic gets these
+                                 docs wrong)
+
+    Longest-match is total: two prefixes matching one path are nested, so
+    their lengths differ — max_by on length is deterministic, no ties.
+
+    Scale: the rule set is bounded by site structure (here 111 rows, real
+    crawls ~10⁴) — Spark broadcasts it (BroadcastNestedLoopJoin on the
+    substr predicate); each doc keeps <= depth matching rows, and ONE
+    max_by hash agg with map-side combine picks the winner. No window, no
+    global sort, nothing keyed hot."""
+    mb = "max_by" if d.name == "spark" else "arg_max"
+    sk = d.str_cast("k")
+    sj = d.str_cast("j")
+    return f"""
+WITH sections AS (
+  SELECT k FROM (SELECT 1 AS one) o {d.explode(d.seq("0", "9"), "k")}
+),
+cats AS (
+  SELECT j FROM (SELECT 1 AS one) o {d.explode(d.seq("0", "99"), "j")}
+),
+rules AS (
+  SELECT '/' AS prefix, 1 AS allow
+  UNION ALL
+  SELECT '/s' || {sk} || '/', 0 FROM sections WHERE k % 3 = 0
+  UNION ALL
+  SELECT '/s' || {sk} || '/c' || {sj} || '/', 1
+  FROM sections CROSS JOIN cats WHERE k % 3 = 0 AND j % 7 = 0
+),
+paths AS (
+  SELECT doc_id,
+         '/s' || {d.str_cast("doc_id % 10")}
+           || '/c' || {d.str_cast("doc_id % 100")}
+           || '/p' || {d.str_cast("doc_id")} AS path
+  FROM documents
+),
+matched AS (
+  SELECT p.doc_id, p.path,
+         {mb}(r.prefix, length(r.prefix)) AS rule_prefix,
+         CAST({mb}(r.allow, length(r.prefix)) AS BIGINT) AS allowed
+  FROM paths p
+  JOIN rules r ON substr(p.path, 1, length(r.prefix)) = r.prefix
+  GROUP BY p.doc_id, p.path
+)
+SELECT doc_id, path, rule_prefix, allowed
+FROM matched
+"""
+
+
 WEB_QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_canonicalize_agg": q_url_canonicalize_agg,
@@ -1136,4 +1201,5 @@ WEB_QUERIES = {
     "bloom_dedup_probe": q_bloom_dedup_probe,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "priority_sample_weighted": q_priority_sample_weighted,
+    "robots_policy_filter": q_robots_policy_filter,
 }

@@ -31,7 +31,11 @@ import pandas as pd
 from ..kernels.boilerplate import TEXTUAL_CLASSES, parse_blocks
 from ..kernels.stub_layout import StubLayoutModel
 from ..kernels.xycut import xycut_order
-from ..kernels.yolo_decode import abandon_filter_and_round, decode_preds
+from ..kernels.yolo_decode import (
+    abandon_filter_and_round,
+    decode_preds,
+    decode_preds_batched,
+)
 
 # Output schema of the extraction stage (DDL string for mapInPandas).
 # elapsed_us is this row's share of its Arrow batch's processing time — the
@@ -52,19 +56,10 @@ EXTRACT_SCHEMA = ", ".join(f"{c} {t}" for c, t in _FIELD_TYPES.items())
 SEP = " "  # span-assembly separator (STRING_AGG parity; SURVEY.md §2.8)
 
 
-def extract_page(html_bytes: bytes | None, url: str, model: StubLayoutModel) -> dict:
-    """Extract one page. Pure function of (html, url) — deterministic."""
+def _assemble_page(url: str, blocks, decoded) -> dict:
+    """Abandon-filter + XY-cut + span assembly over a decoded page — the
+    back half of extract_page, shared with the batched path."""
     try:
-        if html_bytes is None:
-            raise ValueError("null html")
-        html = bytes(html_bytes).decode("utf-8", errors="replace")
-        blocks = parse_blocks(html)
-        # two-column rendering is a property of the page, not the pipeline:
-        # the stub model reads it from a meta marker the generator embeds;
-        # real pages rasterize however they rasterize.
-        two_col = '<meta name="layout" content="two-column"' in html
-        preds, spec, _classes = model.infer(blocks, two_col)
-        decoded = decode_preds(preds, spec, names=model.names, confs=(0.4,), apply_nms=True)
         kept = abandon_filter_and_round(decoded)
         if kept:
             boxes = np.asarray([[b["x"], b["y"], b["width"], b["height"]] for b in kept])
@@ -109,6 +104,88 @@ def extract_page(html_bytes: bytes | None, url: str, model: StubLayoutModel) -> 
         }
 
 
+_TWO_COL_MARKER = '<meta name="layout" content="two-column"'
+
+
+def extract_page(html_bytes: bytes | None, url: str, model: StubLayoutModel) -> dict:
+    """Extract one page. Pure function of (html, url) — deterministic.
+    Single-page form; extract_rows runs the same stages with the decode
+    batched across the whole Arrow batch (bit-identical, A/B-asserted)."""
+    try:
+        if html_bytes is None:
+            raise ValueError("null html")
+        html = bytes(html_bytes).decode("utf-8", errors="replace")
+        blocks = parse_blocks(html)
+        # two-column rendering is a property of the page, not the pipeline:
+        # the stub model reads it from a meta marker the generator embeds;
+        # real pages rasterize however they rasterize.
+        preds, spec, _classes = model.infer(blocks, _TWO_COL_MARKER in html)
+        decoded = decode_preds(preds, spec, names=model.names, confs=(0.4,), apply_nms=True)
+    except Exception as e:  # corrupt row -> null + error, never fail (S3)
+        return {
+            "url": url,
+            "extracted_text": None,
+            "n_blocks": 0,
+            "extracted_bytes": 0,
+            "blocks": [],
+            "error": f"{type(e).__name__}: {e}"[:500],
+        }
+    return _assemble_page(url, blocks, decoded)
+
+
+def extract_rows(htmls, urls, model: StubLayoutModel) -> list[dict]:
+    """One Arrow batch of pages -> extraction rows, with the YOLO decode
+    BATCHED across all the batch's pages in one numpy pass
+    (kernels/yolo_decode.decode_preds_batched — bit-identical to the
+    per-page decode, both asserted by the A/B test and re-checked here by
+    falling back per page if the batched call ever fails). Parse/infer
+    stay per page (their state machines are row-local); per-row error
+    isolation (S3 skip-unreadable semantics) is preserved because corrupt
+    rows error out in the per-page parse/infer phase and never enter the
+    batched decode."""
+    staged: list[tuple] = []  # (url, blocks, preds, spec) | (url, error_row)
+    for h, u in zip(htmls, urls):
+        try:
+            if h is None:
+                raise ValueError("null html")
+            html = bytes(h).decode("utf-8", errors="replace")
+            blocks = parse_blocks(html)
+            preds, spec, _classes = model.infer(blocks, _TWO_COL_MARKER in html)
+            staged.append((u, blocks, preds, spec))
+        except Exception as e:
+            staged.append((u, {
+                "url": u,
+                "extracted_text": None,
+                "n_blocks": 0,
+                "extracted_bytes": 0,
+                "blocks": [],
+                "error": f"{type(e).__name__}: {e}"[:500],
+            }))
+    live = [s for s in staged if len(s) == 4]
+    try:
+        decoded = decode_preds_batched(
+            [s[2] for s in live], [s[3] for s in live],
+            names=model.names, confs=(0.4,), apply_nms=True,
+        )
+    except Exception:
+        # defensive: a decode failure degrades to the per-page path so a
+        # pathological page errors alone instead of failing the batch
+        decoded = [
+            decode_preds(s[2], s[3], names=model.names, confs=(0.4,),
+                         apply_nms=True)
+            for s in live
+        ]
+    rows: list[dict] = []
+    di = 0
+    for s in staged:
+        if len(s) == 2:
+            rows.append(s[1])
+        else:
+            rows.append(_assemble_page(s[0], s[1], decoded[di]))
+            di += 1
+    return rows
+
+
 def _extract_batch_fn(cols: list[str]):
     """mapInPandas body emitting exactly ``cols``. The model is constructed
     once per task (the broadcast-once / lazy-singleton pattern of
@@ -122,10 +199,9 @@ def _extract_batch_fn(cols: list[str]):
         model = StubLayoutModel()
         for pdf in batches:
             t0 = time.monotonic_ns()
-            rows = [
-                extract_page(h, u, model)
-                for h, u in zip(pdf["html"].to_numpy(), pdf["url"].to_numpy())
-            ]
+            rows = extract_rows(
+                pdf["html"].to_numpy(), pdf["url"].to_numpy(), model
+            )
             share = ((time.monotonic_ns() - t0) // 1000) // max(len(rows), 1)
             out = pd.DataFrame(
                 [[r[c] for c in data_cols] for r in rows], columns=data_cols
