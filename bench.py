@@ -193,6 +193,21 @@ def main() -> None:
         noop(queries[name](spark, SF_DIR))
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # --- terminal export sink (split_and_pack -> sharded JSONL + manifest;
+    # the one registry surface that was bench-invisible before round 6) ---
+    import shutil
+    import tempfile
+
+    from usls_doc_spark.io.export import export_from_sf
+
+    export_dir = tempfile.mkdtemp(prefix="bench_export_")
+    try:
+        t0 = time.monotonic()
+        export_from_sf(spark, SF_DIR, export_dir)
+        timings["export_jsonl_shards"] = round(time.monotonic() - t0, 3)
+    finally:
+        shutil.rmtree(export_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
