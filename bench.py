@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "kmeans_lloyd_step",
     "anchor_text_agg",
     "robots_policy_filter",
+    "events_hopping_window",
 ]
 
 # Streaming surface (round-5 VERDICT item 5): each callable drains a full

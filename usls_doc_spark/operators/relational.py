@@ -274,6 +274,39 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --- hopping (sliding) window aggregation (round 6): size 6h, slide 2h ------
+def events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window analytics — each event lands in size/slide = 3
+    windows (F.window with a slide generates the replicated rows). The
+    batch analogue of a hopping-window streaming agg; completes the
+    window matrix (tumbling / session / hopping). Scale: the 3x fan-out
+    happens map-side before one hash aggregate on (win_start, type)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "6 hours", "2 hours").getField("start").alias("win_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value", 14, 2)).cast("double").alias("total_value"),
+        )
+    )
+
+
+# Spark aligns hop starts to epoch 0 in slide increments: the windows
+# containing ts are starts (epoch DIV 7200 - k) * 7200 for k in 0..2.
+EVENTS_HOPPING_ORACLE = """
+SELECT to_timestamp((CAST(floor(epoch(ts) / 7200) AS BIGINT) - k) * 7200)::TIMESTAMP
+         AS win_start,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events, unnest(generate_series(0, 2)) AS t(k)
+GROUP BY 1, 2
+"""
+
+
 # --- pivot: per-user event-type counts ---------------------------------------
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -593,6 +626,7 @@ RELATIONAL_QUERIES = {
     "orders_running_total": (orders_running_total, RUNNING_ORACLE),
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
     "events_tumbling_window": (events_tumbling, EVENTS_TUMBLING_ORACLE),
+    "events_hopping_window": (events_hopping, EVENTS_HOPPING_ORACLE),
     "events_pivot": (events_pivot, EVENTS_PIVOT_ORACLE),
     "events_rollup": (events_rollup, ROLLUP_SQL),
     "asof_join_purchases": (asof_join_purchases, ASOF_ORACLE),
