@@ -105,6 +105,7 @@ STREAMING_BENCH = [
     "streaming_click_attribution",
     "streaming_click_attribution_outer",
     "streaming_click_attribution_full",
+    "streaming_events_hopping",
 ]
 
 

@@ -331,6 +331,14 @@ def build_registry() -> tuple[dict, dict]:
     queries["streaming_events_window"] = streaming_events_window
     oracles["streaming_events_window"] = STREAMING_ORACLE
 
+    # hopping (sliding) streaming window — converges to the batch
+    # events_hopping_window answer (same oracle; round 6)
+    from .operators.relational import EVENTS_HOPPING_ORACLE
+    from .streaming.events import streaming_events_hopping
+
+    queries["streaming_events_hopping"] = streaming_events_hopping
+    oracles["streaming_events_hopping"] = EVENTS_HOPPING_ORACLE
+
     # stateful streaming exact-dedup: converges to the batch dedup_exact
     # answer (same oracle) across any micro-batch split
     from .streaming.dedup import streaming_dedup_exact

@@ -99,3 +99,57 @@ SELECT to_timestamp(floor(epoch(ts) / 21600) * 21600)::TIMESTAMP AS win_start,
        CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
 """
+
+_HOP_QUERY_NAME = "usls_stream_events_hopping"
+
+
+def streaming_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window (size 6h, slide 2h) streaming aggregation — the
+    streaming twin of events_hopping_window (operators/relational.py).
+    Each event enters size/slide = 3 open windows, so the state store
+    holds 3x the tumbling window count — still bounded by the number of
+    open windows, never by the stream length; the watermark closes
+    windows once event time passes end + 1h. Complete-mode foreachBatch
+    overwrite, same executor-side sink discipline as the tumbling form."""
+    for q in spark.streams.active:
+        if q.name == _HOP_QUERY_NAME:
+            q.stop()
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours", "2 hours"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    import atexit
+
+    sink_dir = tempfile.mkdtemp(prefix="usls_stream_events_hop_")
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    atexit.register(shutil.rmtree, sink_dir, ignore_errors=True)
+
+    def _overwrite(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(sink_dir)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(_overwrite)
+        .queryName(_HOP_QUERY_NAME)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_sink_or_empty(spark, sink_dir, WINDOW_OUT_SCHEMA)
