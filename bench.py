@@ -212,22 +212,49 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    meta = {
+        "metric": "headline suite wall time (extraction + operator queries)",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "cpus": CPUS,
+        "extraction_docs": int(n_docs),
+        "extraction_html_mb": round(html_bytes / 1e6, 1),
+        "docs_per_sec": round(n_docs / t_extract, 1),
+        "input_mb_per_sec": round(html_bytes / 1e6 / t_extract, 1),
+        "pinned_cpus": pinned,
+        "loadavg_before": load_before,
+        "loadavg_after": _loadavg(),
+    }
+    # Full per-query map goes to a FILE; the stdout line stays compact so
+    # the driver's stdout tail capture can never truncate it (round-6
+    # VERDICT item 2: the 78-entry "queries" dict outgrew the capture and
+    # BENCH_r06.json recorded parsed: null). The printed line keeps the
+    # 10 most expensive queries plus per-family subtotals.
+    full_path = pathlib.Path(__file__).resolve().parent / "BENCH" / "bench_full_latest.json"
+    full_path.parent.mkdir(exist_ok=True)
+    full_path.write_text(json.dumps({**meta, "queries": timings}, indent=1) + "\n")
+
+    def family(name: str) -> str:
+        if name.startswith("streaming_"):
+            return "streaming"
+        if name.startswith(("raster_", "ocr_", "trocr_", "extraction", "table_",
+                            "layout_", "multimodal_")):
+            return "pipeline"
+        return "batch_sql"
+
+    subtotals: dict[str, float] = {}
+    for name, t in timings.items():
+        subtotals[family(name)] = round(subtotals.get(family(name), 0.0) + t, 3)
+    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
-                "metric": "headline suite wall time (extraction + operator queries)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "cpus": CPUS,
-                "extraction_docs": int(n_docs),
-                "extraction_html_mb": round(html_bytes / 1e6, 1),
-                "docs_per_sec": round(n_docs / t_extract, 1),
-                "input_mb_per_sec": round(html_bytes / 1e6 / t_extract, 1),
-                "pinned_cpus": pinned,
-                "loadavg_before": load_before,
-                "loadavg_after": _loadavg(),
+                **meta,
+                "queries": top10,
+                "family_subtotals": subtotals,
+                "n_queries_timed": len(timings),
+                "full_results": str(full_path),
             }
         )
     )

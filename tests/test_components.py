@@ -113,3 +113,22 @@ def test_long_chain_converges_logarithmically(spark):
     comp = {r.doc_id: r.component_id for r in labels.collect()}
     assert set(comp.values()) == {0}
     assert len(comp) == 41
+
+
+def test_own_ckpt_dirs_ignores_concurrent_checkpoints(spark, tmp_path_factory):
+    """r6 ADVICE item 2: round GC must be scoped to THIS run's checkpoint
+    lineage — a concurrent caller's checkpoint landing in the same context
+    root must never appear in the GC set."""
+    from usls_doc_spark.operators.components import _own_ckpt_dirs
+
+    ckpt = str(tmp_path_factory.mktemp("cc_own"))
+    current = spark.sparkContext.getCheckpointDir()
+    if current is None:
+        spark.sparkContext.setCheckpointDir(ckpt)
+    mine = spark.range(10).checkpoint(eager=True)
+    other = spark.range(20).checkpoint(eager=True)  # the "concurrent" writer
+    mine_dirs = _own_ckpt_dirs(mine)
+    other_dirs = _own_ckpt_dirs(other)
+    assert len(mine_dirs) == 1 and len(other_dirs) == 1
+    assert mine_dirs != other_dirs
+    assert not (mine_dirs & other_dirs)

@@ -119,3 +119,39 @@ def test_batched_rows_bitwise_equal_per_page_path():
                 and np.float32(gb["conf"]).tobytes()
                 == np.float32(wb["conf"]).tobytes()
             ), u
+
+
+def test_fallback_decode_isolates_pathological_page(monkeypatch):
+    """Round-6 ADVICE item 1: when the batched decode fails AND one page's
+    per-page decode also fails, that page alone degrades to an error row —
+    the rest of the Arrow batch still extracts (S3 skip-unreadable)."""
+    import usls_doc_spark.pipeline.extract as px
+    from usls_doc_spark.kernels.stub_layout import StubLayoutModel
+
+    def boom_batched(*a, **k):
+        raise RuntimeError("batched decode exploded")
+
+    real_decode = px.decode_preds
+    calls = {"i": -1}
+
+    def boom_second_page(*a, **k):
+        calls["i"] += 1
+        if calls["i"] == 1:
+            raise ValueError("pathological page")
+        return real_decode(*a, **k)
+
+    monkeypatch.setattr(px, "decode_preds_batched", boom_batched)
+    monkeypatch.setattr(px, "decode_preds", boom_second_page)
+
+    htmls = [
+        b"<html><body><h1>A</h1><p>alpha beta</p></body></html>",
+        b"<html><body><h1>B</h1><p>gamma delta</p></body></html>",
+        b"<html><body><h1>C</h1><p>epsilon zeta</p></body></html>",
+    ]
+    rows = px.extract_rows(htmls, ["u0", "u1", "u2"], StubLayoutModel())
+    by = {r["url"]: r for r in rows}
+    assert len(rows) == 3
+    assert by["u1"]["error"] is not None and "pathological" in by["u1"]["error"]
+    assert by["u1"]["extracted_text"] is None
+    assert by["u0"]["error"] is None and by["u0"]["extracted_text"] == "A alpha beta"
+    assert by["u2"]["error"] is None and by["u2"]["extracted_text"] == "C epsilon zeta"

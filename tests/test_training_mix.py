@@ -142,3 +142,39 @@ def test_domain_mix_plan_single_agg_no_window(spark):
 def test_duck_and_spark_renderings_agree_on_shape():
     for q in ("domain_mix_weights", "bpe_merge_step", "kmeans_lloyd_step"):
         assert render_duck(q) != render_spark(q)  # genuinely two dialects
+
+
+def test_mix_arithmetic_exact_beyond_int64(spark):
+    """r6 ADVICE item 3: the ppm products route through d.wide()
+    (DECIMAL(38,0)/HUGEINT) so weight_ppm and rep_ppm stay exact past the
+    ~1.3e13-token int64 ceiling — both engines must agree with exact
+    python integer arithmetic at 2e15 tokens."""
+    import duckdb
+
+    from usls_doc_spark.operators.dialect import DUCK, SPARK
+    from usls_doc_spark.operators.training_mix import MIX_LAMBDA_PPM
+
+    n_tokens, total_tokens, n_sources = 2_000_000_000_000_000, 3_141_592_653_589_793, 7
+    want_w = MIX_LAMBDA_PPM // n_sources + ((1_000_000 - MIX_LAMBDA_PPM) * n_tokens) // total_tokens
+    want_rep = (want_w * total_tokens) // n_tokens
+
+    def exprs(d):
+        smooth = d.intdiv(str(MIX_LAMBDA_PPM), "t.n_sources")
+        prop = d.intdiv(
+            f"{1_000_000 - MIX_LAMBDA_PPM} * {d.wide('s.n_tokens')}",
+            "t.total_tokens",
+        )
+        rep = d.intdiv(f"({smooth} + {prop}) * {d.wide('t.total_tokens')}",
+                       "s.n_tokens")
+        return (
+            f"SELECT CAST({smooth} + {prop} AS BIGINT) AS w, CAST({rep} AS BIGINT) AS r "
+            f"FROM (SELECT CAST({n_tokens} AS BIGINT) AS n_tokens) s "
+            f"CROSS JOIN (SELECT CAST({total_tokens} AS BIGINT) AS total_tokens, "
+            f"{n_sources} AS n_sources) t"
+        )
+
+    srow = spark.sql(exprs(SPARK)).collect()[0]
+    con = duckdb.connect()
+    drow = con.sql(exprs(DUCK)).fetchall()[0]
+    assert (srow["w"], srow["r"]) == (want_w, want_rep), (srow, want_w, want_rep)
+    assert tuple(drow) == (want_w, want_rep), (drow, want_w, want_rep)

@@ -58,6 +58,34 @@ def _rdd_ckpt_dirs(spark: SparkSession, checkpoint_dir: str) -> set[str]:
     return set() if st is None else {s.getPath().toString() for s in st}
 
 
+def _own_ckpt_dirs(df: DataFrame) -> set[str]:
+    """THIS DataFrame's reliable-checkpoint rdd-<id> directory, found by
+    walking the physical RDD's dependency chain to the checkpointed node
+    (r6 ADVICE item 2: a before/after glob diff of the whole context
+    checkpoint root would capture — and later delete — live rdd-* dirs any
+    CONCURRENT caller checkpoints in the same window; the dependency walk
+    is scoped to this run's own lineage, so concurrent checkpoints are
+    never touched). Returns empty when no checkpoint file is found (never
+    guesses) — the caller then skips GC for the round, which accumulates
+    files but cannot lose data."""
+    def walk(jrdd, depth: int) -> set[str]:
+        if depth > 8:  # checkpoint node sits 2-3 deps below toRdd
+            return set()
+        opt = jrdd.getCheckpointFile()
+        if opt.isDefined():
+            return {opt.get()}
+        found: set[str] = set()
+        it = jrdd.dependencies().iterator()
+        while it.hasNext():
+            found |= walk(it.next().rdd(), depth + 1)
+        return found
+
+    try:
+        return walk(df._jdf.queryExecution().toRdd(), 0)
+    except Exception:
+        return set()
+
+
 def _delete_dirs(spark: SparkSession, dirs: set[str]) -> None:
     jvm = spark._jvm
     for d in dirs:
@@ -155,9 +183,8 @@ def min_label_components(
             # cuts the plan, which cache() alone does not. local = fast,
             # executor-memory resident; reliable = survives executor loss
             if effective_ckpt is not None:
-                before = _rdd_ckpt_dirs(spark, effective_ckpt)
                 new_labels = new_labels.checkpoint(eager=True)
-                round_dirs = _rdd_ckpt_dirs(spark, effective_ckpt) - before
+                round_dirs = _own_ckpt_dirs(new_labels)
             else:
                 new_labels = new_labels.localCheckpoint(eager=True)
                 round_dirs = set()

@@ -81,6 +81,15 @@ class Dialect:
         """Exact integer division (both operands integral, result BIGINT)."""
         return f"(({a}) DIV ({b}))" if self.name == "spark" else f"(({a}) // ({b}))"
 
+    def wide(self, x: str) -> str:
+        """Widen an integral operand beyond int64 for overflow-free products
+        (r6 ADVICE item 3): Spark DECIMAL(38,0), DuckDB HUGEINT — both give
+        exact integer multiply + intdiv up to 1e38, and both engines'
+        results verified identical on 1e15-token inputs. Callers must still
+        CAST the terminal expression back to BIGINT (oracle-type ban)."""
+        target = "DECIMAL(38,0)" if self.name == "spark" else "HUGEINT"
+        return f"CAST({x} AS {target})"
+
     # --- array lambdas ----------------------------------------------------
     def array_transform(self, a: str, var: str, body: str) -> str:
         if self.name == "spark":

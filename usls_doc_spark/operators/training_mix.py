@@ -51,6 +51,18 @@ def q_domain_mix_weights(d: Dialect) -> str:
     one uniform pass (weight / natural share), ppm fixed-point: rep > 1e6
     means the source is upsampled. Exact integer arithmetic end to end."""
     n_tok = d.array_len(d.split("text"))
+    # weight_ppm = lambda/K + (1-lambda)*tok_i/T, integer ppm. The products
+    # (1-lambda)*n_tokens and weight*total_tokens overflow int64 at ~1.3e13
+    # total tokens — inside 100 TB corpus scale — so they run through
+    # d.wide() (Spark DECIMAL(38,0) / DuckDB HUGEINT, exact to 1e38;
+    # r6 ADVICE item 3), with the terminal casts back to BIGINT.
+    smooth = d.intdiv(str(MIX_LAMBDA_PPM), "t.n_sources")
+    prop = d.intdiv(
+        f"{1_000_000 - MIX_LAMBDA_PPM} * {d.wide('s.n_tokens')}",
+        "t.total_tokens",
+    )
+    rep = d.intdiv(f"({smooth} + {prop}) * {d.wide('t.total_tokens')}",
+                   "s.n_tokens")
     return f"""
 WITH per_source AS (
   SELECT source,
@@ -67,15 +79,8 @@ tot AS (
 SELECT s.source,
        s.n_docs,
        CAST(s.n_tokens AS BIGINT) AS n_tokens,
-       CAST({d.intdiv(str(MIX_LAMBDA_PPM), "t.n_sources")}
-         + {d.intdiv(f"{1_000_000 - MIX_LAMBDA_PPM} * s.n_tokens", "t.total_tokens")}
-         AS BIGINT) AS weight_ppm,
-       CAST({d.intdiv(
-           f"({d.intdiv(str(MIX_LAMBDA_PPM), 't.n_sources')}"
-           f" + {d.intdiv(f'{1_000_000 - MIX_LAMBDA_PPM} * s.n_tokens', 't.total_tokens')})"
-           " * t.total_tokens",
-           "s.n_tokens",
-       )} AS BIGINT) AS rep_ppm
+       CAST({smooth} + {prop} AS BIGINT) AS weight_ppm,
+       CAST({rep} AS BIGINT) AS rep_ppm
 FROM per_source s CROSS JOIN tot t
 """
 

@@ -133,6 +133,16 @@ def extract_page(html_bytes: bytes | None, url: str, model: StubLayoutModel) -> 
     return _assemble_page(url, blocks, decoded)
 
 
+class _DecodeError:
+    """Per-page decode-failure marker in the fallback path — unambiguous
+    vs DecodedBoxes (which is itself a tuple subclass)."""
+
+    __slots__ = ("msg",)
+
+    def __init__(self, msg: str) -> None:
+        self.msg = msg
+
+
 def extract_rows(htmls, urls, model: StubLayoutModel) -> list[dict]:
     """One Arrow batch of pages -> extraction rows, with the YOLO decode
     BATCHED across all the batch's pages in one numpy pass
@@ -169,20 +179,38 @@ def extract_rows(htmls, urls, model: StubLayoutModel) -> list[dict]:
         )
     except Exception:
         # defensive: a decode failure degrades to the per-page path so a
-        # pathological page errors alone instead of failing the batch
-        decoded = [
-            decode_preds(s[2], s[3], names=model.names, confs=(0.4,),
-                         apply_nms=True)
-            for s in live
-        ]
+        # pathological page errors alone instead of failing the batch —
+        # each page's decode is try-wrapped so even the fallback keeps
+        # row-level error isolation (S3 skip-unreadable semantics; a None
+        # entry becomes that page's standard error row below)
+        decoded = []
+        for s in live:
+            try:
+                decoded.append(
+                    decode_preds(s[2], s[3], names=model.names, confs=(0.4,),
+                                 apply_nms=True)
+                )
+            except Exception as e:
+                decoded.append(_DecodeError(f"{type(e).__name__}: {e}"[:500]))
     rows: list[dict] = []
     di = 0
     for s in staged:
         if len(s) == 2:
             rows.append(s[1])
         else:
-            rows.append(_assemble_page(s[0], s[1], decoded[di]))
+            d = decoded[di]
             di += 1
+            if isinstance(d, _DecodeError):
+                rows.append({
+                    "url": s[0],
+                    "extracted_text": None,
+                    "n_blocks": 0,
+                    "extracted_bytes": 0,
+                    "blocks": [],
+                    "error": d.msg,
+                })
+            else:
+                rows.append(_assemble_page(s[0], s[1], d))
     return rows
 
 
