@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "anchor_text_agg",
     "robots_policy_filter",
     "events_hopping_window",
+    # round-7 additions
+    "kmeans_ivf_build",
 ]
 
 # Streaming surface (round-5 VERDICT item 5): each callable drains a full

@@ -178,3 +178,68 @@ def test_mix_arithmetic_exact_beyond_int64(spark):
     drow = con.sql(exprs(DUCK)).fetchall()[0]
     assert (srow["w"], srow["r"]) == (want_w, want_rep), (srow, want_w, want_rep)
     assert tuple(drow) == (want_w, want_rep), (drow, want_w, want_rep)
+
+
+def test_kmeans_ivf_build_matches_numpy_replay(spark):
+    """Round-7: the trained-IVF chain (3 exact integer Lloyd iterations ->
+    cell assignment -> own-cell top-3 probe) must equal an independent
+    numpy replay of the same fixed-point algorithm, and Spark must equal
+    DuckDB (the registry parity test re-checks the latter)."""
+    from usls_doc_spark.operators.training_mix import KMEANS_ITERS
+    from usls_doc_spark.queries import _register_views
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'")
+    emb = con.sql("SELECT vec_id, embedding FROM embeddings ORDER BY vec_id").fetchall()
+    V = np.array([r[1] for r in emb], dtype=np.float32).astype(np.float64)
+    ids = np.array([r[0] for r in emb])
+    scaled = V * KMEANS_SCALE
+    # SQL round() = half away from zero (not numpy banker's rounding)
+    Q = np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).astype(np.int64)
+    C = Q[ids < KMEANS_K][np.argsort(ids[ids < KMEANS_K])]
+    cids = np.arange(KMEANS_K)[None, :]
+
+    def assign(cent):
+        dist = ((Q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return (dist * KMEANS_K + cids).min(axis=1) % KMEANS_K
+
+    for _ in range(KMEANS_ITERS):
+        cl = assign(C)
+        newC = C.copy()
+        for c in range(KMEANS_K):
+            m = cl == c
+            if m.sum():  # empty cluster keeps its previous centroid
+                newC[c] = np.floor_divide(Q[m].sum(axis=0), int(m.sum()))
+        C = newC
+    cell = assign(C)
+    expected = []
+    for qi in range(10):
+        cands = sorted(
+            (int(((Q[qi] - Q[g]) ** 2).sum()), int(ids[g]))
+            for g in range(len(ids))
+            if cell[g] == cell[qi] and ids[g] != qi
+        )
+        expected += [(qi, nid, int(cell[qi]), dd) for dd, nid in cands[:3]]
+
+    _register_views(spark, SF_DIR)
+    got = sorted(
+        (r["qid"], r["nid"], r["cell"], r["qdist"])
+        for r in spark.sql(render_spark("kmeans_ivf_build")).collect()
+    )
+    assert got == sorted(expected)
+
+
+def test_kmeans_ivf_build_plan_broadcasts_no_global_window(spark):
+    from usls_doc_spark.queries import _register_views
+
+    _register_views(spark, SF_DIR)
+    plan = _plan(spark.sql(render_spark("kmeans_ivf_build")))
+    # the K-row centroid sides reach mappers via broadcast each iteration
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the only Window EXEC is the per-query top-3 rank over own-cell
+    # candidates (bounded by |G|/K per query) — and Spark's rank-limit
+    # pushdown turns it into map-side WindowGroupLimit pruning; the Lloyd
+    # iterations themselves are pure hash aggs
+    assert plan.count("+- Window ") <= 1
+    assert "WindowGroupLimit" in plan  # top-3 pruned before the shuffle
+    assert plan.count("HashAggregate") >= 2  # partial+final combine

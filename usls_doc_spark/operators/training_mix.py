@@ -161,8 +161,141 @@ GROUP BY cluster, dim_idx
 """
 
 
+KMEANS_ITERS = 3  # fixed Lloyd iterations for the trained IVF build
+
+
+def _floor_div(d: Dialect, a: str, b: str) -> str:
+    """Portable exact FLOOR division for a possibly-negative dividend:
+    Spark's DIV truncates toward zero while DuckDB's // floors, so raw
+    intdiv diverges on negatives. Subtracting the non-negative remainder
+    first makes the quotient exact (no rounding at all), where both
+    engines agree. ``b`` must be positive. Both engines' % truncate
+    (sign of dividend), so ((a % b) + b) % b is the non-negative
+    remainder in both."""
+    r = f"(((({a}) % ({b})) + ({b})) % ({b}))"
+    return d.intdiv(f"(({a}) - {r})", b)
+
+
+def q_kmeans_ivf_build(d: Dialect) -> str:
+    """Trained IVF index build + probe: {KMEANS_ITERS} full Lloyd
+    iterations over the {KMEANS_K} seed centroids (vec_id < K), then
+    every vector is assigned to its nearest TRAINED centroid (its IVF
+    cell) and the first 10 vectors probe ONLY their own cell for top-3
+    neighbors by exact quantized L2 — the ann_ivf_probe chain with a
+    trained, not seeded, coarse quantizer (r6 VERDICT item 4).
+
+    Exactness (the kmeans_lloyd_step discipline, iterated): coordinates
+    quantize once to 1e6 fixed-point BIGINTs (qv); every distance is an
+    exact integer; argmin ties break to the smaller centroid id via the
+    dist*K+cid MIN encoding; the centroid update re-quantizes onto the
+    SAME integer grid via exact floor division (_floor_div — portable
+    across Spark DIV / DuckDB //), so iteration i+1's input is a BIGINT
+    vector both engines agree on bit-for-bit. Per-dim member sums route
+    through d.wide() (DECIMAL(38,0)/HUGEINT) so they cannot overflow
+    int64 at any corpus size, then cast back after the division. A
+    cluster that loses all members keeps its previous centroid
+    (COALESCE against the prior round — deterministic in both engines).
+
+    Spark plan shape at scale (the host_graph_pagerank unrolling
+    pattern): iterations are unrolled CTEs; each is one scan of the
+    quantized vectors CROSS JOINed with the K-row centroid table (AQE
+    broadcasts it — plan-asserted), one map-side-combinable hash agg per
+    assignment (K candidate rows per vector collapse in-mapper), and one
+    K-row-output agg for the update (64 SUMs + COUNT grouped by cluster
+    — mapper state K x 65 cells, corpus-size-independent). At 100 TB qv
+    would be a cached/checkpointed table; here Catalyst CSE shares the
+    scan. The probe is the standard IVF equi-join on cell id: |G|/K
+    candidates per query instead of |G|."""
+    K, DIMS = KMEANS_K, KMEANS_DIMS
+    qcols = ", ".join(
+        f"{_quant(d, 'embedding', str(k))} AS q{k}" for k in range(1, DIMS + 1)
+    )
+    seed_cols = ", ".join(
+        f"{_quant(d, 'embedding', str(k))} AS d{k}" for k in range(1, DIMS + 1)
+    )
+
+    def cdist(v: str, c: str) -> str:
+        return balanced_sum(
+            [f"(({v}.q{k} - {c}.d{k}) * ({v}.q{k} - {c}.d{k}))"
+             for k in range(1, DIMS + 1)]
+        )
+
+    def vdist(a: str, b: str) -> str:
+        return balanced_sum(
+            [f"(({a}.q{k} - {b}.q{k}) * (({a}.q{k} - {b}.q{k})))"
+             for k in range(1, DIMS + 1)]
+        )
+
+    sql = f"""
+WITH qv AS (
+  SELECT vec_id, {qcols} FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cid, {seed_cols} FROM embeddings WHERE vec_id < {K}
+)"""
+    prev = "c0"
+    for i in range(1, KMEANS_ITERS + 1):
+        sums_cols = ", ".join(
+            f"SUM({d.wide(f'v.q{k}')}) AS s{k}" for k in range(1, DIMS + 1)
+        )
+        upd_cols = ", ".join(
+            f"CAST({_floor_div(d, f's{k}', 'n')} AS BIGINT) AS d{k}"
+            for k in range(1, DIMS + 1)
+        )
+        keep_cols = ", ".join(
+            f"COALESCE(u.d{k}, p.d{k}) AS d{k}" for k in range(1, DIMS + 1)
+        )
+        sql += f""",
+a{i} AS (
+  SELECT v.vec_id,
+         CAST(MIN(({cdist("v", "c")}) * {K} + c.cid) % {K} AS BIGINT) AS cluster
+  FROM qv v CROSS JOIN {prev} c
+  GROUP BY v.vec_id
+),
+s{i} AS (
+  SELECT a.cluster AS cid, COUNT(*) AS n, {sums_cols}
+  FROM a{i} a JOIN qv v ON a.vec_id = v.vec_id
+  GROUP BY a.cluster
+),
+u{i} AS (
+  SELECT cid, {upd_cols} FROM s{i}
+),
+c{i} AS (
+  SELECT p.cid, {keep_cols}
+  FROM {prev} p LEFT JOIN u{i} u ON p.cid = u.cid
+)"""
+        prev = f"c{i}"
+    sql += f""",
+cells AS (
+  SELECT v.vec_id,
+         CAST(MIN(({cdist("v", "c")}) * {K} + c.cid) % {K} AS BIGINT) AS cell
+  FROM qv v CROSS JOIN {prev} c
+  GROUP BY v.vec_id
+),
+qset AS (SELECT vec_id, cell FROM cells WHERE vec_id < 10),
+cands AS (
+  SELECT q.vec_id AS qid, g.vec_id AS nid, q.cell AS cell
+  FROM qset q JOIN cells g ON q.cell = g.cell AND g.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT c.qid, c.nid, c.cell,
+         CAST({vdist("a", "b")} AS BIGINT) AS qdist
+  FROM cands c
+  JOIN qv a ON a.vec_id = c.qid
+  JOIN qv b ON b.vec_id = c.nid
+)
+SELECT qid, nid, cell, qdist FROM (
+  SELECT qid, nid, cell, qdist,
+         row_number() OVER (PARTITION BY qid ORDER BY qdist, nid) AS rk
+  FROM scored
+) ranked WHERE rk <= 3
+"""
+    return sql
+
+
 TRAINING_QUERIES = {
     "domain_mix_weights": q_domain_mix_weights,
     "bpe_merge_step": q_bpe_merge_step,
     "kmeans_lloyd_step": q_kmeans_lloyd_step,
+    "kmeans_ivf_build": q_kmeans_ivf_build,
 }
