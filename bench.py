@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "events_hopping_window",
     # round-7 additions
     "kmeans_ivf_build",
+    "dup_char_kgram_fraction",
 ]
 
 # Streaming surface (round-5 VERDICT item 5): each callable drains a full

@@ -106,3 +106,62 @@ def test_dup_window_plan_no_window_function(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan
+
+
+def _char_reference(rows):
+    """Round-7 char-k-gram variant: polynomial-hash 50-char windows
+    rebuilt with plain python ints (no code shared with the template)."""
+    from usls_doc_spark.operators.text_queries import CHAR_KGRAM, CHAR_KGRAM_MOD
+
+    def h(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % CHAR_KGRAM_MOD
+        return acc
+
+    doc_wins = {}
+    for doc_id, text in rows:
+        n = max(len(text) - CHAR_KGRAM + 1, 1)
+        doc_wins[doc_id] = [h(text[i : i + CHAR_KGRAM]) for i in range(n)]
+    df = {}
+    for wins in doc_wins.values():
+        for w in set(wins):
+            df[w] = df.get(w, 0) + 1
+    out = {}
+    for doc_id, wins in doc_wins.items():
+        dup = sum(1 for w in wins if df[w] >= DUPWIN_MIN_FREQ)
+        out[doc_id] = (len(wins), dup, int(2 * dup >= len(wins)))
+    return out
+
+
+def test_dup_char_kgram_vs_dict_reference(spark, docs_rows):
+    from usls_doc_spark.queries import build_registry
+
+    expected = _char_reference(docs_rows)
+    qs, _ = build_registry()
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dropped"])
+        for r in qs["dup_char_kgram_fraction"](spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_dup_char_kgram_catches_word_split_duplication(spark):
+    """The blind spot this query closes: two documents sharing a long
+    character run that WORD windows tokenize differently (punctuation
+    drift) — invisible to dup_window_fraction, flagged here."""
+    base = "the quick brown fox jumps over the lazy dog again and again and again"
+    rows = [
+        (1, base + " tail one marker alpha"),
+        (2, base.replace(" ", "  ", 1) + " other ending entirely beta"),
+        (3, "completely unrelated text with no shared character windows xyz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    df.createOrReplaceTempView("documents")
+    from usls_doc_spark.operators.text_queries import render_spark
+
+    got = {r["doc_id"]: r["n_dup_windows"] for r in
+           spark.sql(render_spark("dup_char_kgram_fraction")).collect()}
+    # the extra space shifts offsets but stride-1 char windows realign
+    assert got[1] > 0 and got[2] > 0
+    assert got[3] == 0
