@@ -129,3 +129,147 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return fold_update_log(spark, sink_dir)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-fronted variant (round-7, r6 VERDICT item 7): bounding the state
+# story of exact streaming dedup.
+#
+# Exact global dedup state inherently grows with distinct keys — no
+# watermark can evict a key that might recur years later. The production
+# design this variant demonstrates has three legs:
+#
+#   1. HISTORICAL side: keys already in the corpus never enter stream
+#      state at all. A fixed-size Bloom filter (m = BLOOM_BITS, k =
+#      BLOOM_K — the exact bit layout of operators/web_curation.py::
+#      q_bloom_dedup_probe, built by one map-side-combinable bit_or
+#      aggregate collapsing to <= m/32 rows) is broadcast into the stream
+#      as a LITERAL int array; the probe is a pure projection (no join,
+#      no shuffle, no state). Bloom false negatives are impossible, so no
+#      historical duplicate is ever admitted as new; false positives
+#      (~2% at test sizing, ~m/10n in production) route a genuinely-new
+#      key to the maybe-seen audit log — they cost an exact re-check
+#      downstream, never correctness.
+#   2. NEW side: only definite-new keys (all-bits-unset) reach the exact
+#      applyInPandasWithState operator, so state cardinality is bounded
+#      by distinct genuinely-new keys this epoch — asserted via the state
+#      operator's numTotalStateRows in the test.
+#   3. EPOCH rotation (design note): at a checkpoint boundary a deployment
+#      folds the epoch's state keys into the next epoch's Bloom (bit_or
+#      merge — the same mergeability as the batch build) and truncates
+#      state; and the state that does exist should live in the RocksDB
+#      state store (spark.sql.streaming.stateStore.providerClass =
+#      ...RocksDBStateStoreProvider) so executor MEMORY holds only the
+#      working set while the full epoch state spills to local disk +
+#      changelog. Both are configuration/operational choices on top of
+#      this operator's unchanged fold semantics.
+# ---------------------------------------------------------------------------
+
+BLOOM_FRONT_OUT_SCHEMA = (
+    "dup_key string, canonical_id bigint, n_members bigint, maybe_seen int"
+)
+
+
+def build_dedup_bloom(history_df: DataFrame) -> list[int]:
+    """One bit_or aggregate over the history side's dup_keys -> the Bloom
+    filter as a dense BLOOM_BITS/32-word int list (driver-side size is
+    FIXED at m/32 = 256 words regardless of history cardinality — the one
+    .collect() here is bounded by construction)."""
+    from ..operators.web_curation import BLOOM_BITS, BLOOM_K, BLOOM_WORD_BITS
+
+    spark = history_df.sparkSession
+    history_df.createOrReplaceTempView("_bloom_history")
+    pos = f"(CAST(conv(substr(h, 1 + 8 * ki, 8), 16, 10) AS BIGINT) % {BLOOM_BITS})"
+    rows = spark.sql(f"""
+        SELECT pos DIV {BLOOM_WORD_BITS} AS word,
+               bit_or(shiftleft(CAST(1 AS BIGINT), pos % {BLOOM_WORD_BITS})) AS bits
+        FROM (
+          SELECT {pos} AS pos
+          FROM (SELECT DISTINCT {DUP_KEY_EXPR} AS h FROM _bloom_history)
+          LATERAL VIEW explode(sequence(0, {BLOOM_K - 1})) AS ki
+        )
+        GROUP BY pos DIV {BLOOM_WORD_BITS}
+    """).collect()
+    words = [0] * (BLOOM_BITS // BLOOM_WORD_BITS)
+    for r in rows:
+        words[int(r["word"])] = int(r["bits"])
+    return words
+
+
+def _maybe_seen_expr(bloom_words: list[int]) -> str:
+    """Pure-projection Bloom probe on the dup_key column: 1 iff all k bit
+    positions are set in the broadcast literal word array."""
+    from ..operators.web_curation import BLOOM_BITS, BLOOM_K, BLOOM_WORD_BITS
+
+    arr = "array(" + ", ".join(f"{w}L" for w in bloom_words) + ")"
+    checks = []
+    for ki in range(BLOOM_K):
+        pos = (
+            f"(CAST(conv(substr(dup_key, {1 + 8 * ki}, 8), 16, 10) AS BIGINT)"
+            f" % {BLOOM_BITS})"
+        )
+        checks.append(
+            f"((element_at({arr}, CAST(pos{ki} DIV {BLOOM_WORD_BITS} AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(pos{ki} % {BLOOM_WORD_BITS} AS INT)))"
+            f" <> 0)".replace(f"pos{ki}", pos)
+        )
+    return "CASE WHEN " + " AND ".join(checks) + " THEN 1 ELSE 0 END"
+
+
+def start_streaming_dedup_bloom_fronted(
+    spark: SparkSession, docs_dir: str, sink_dir: str, bloom_words: list[int],
+    query_name: str = _QUERY_NAME + "_bloomed",
+    max_files: int = 1, glob: str = "documents.parquet",
+    stream_filter: str = "doc_id % 2 = 1",
+):
+    """Bloom-fronted stateful dedup: rows whose key probes POSITIVE in the
+    historical Bloom bypass exact state entirely (appended to the sink
+    with maybe_seen = 1, canonical/n_members NULL — the audit log a
+    production run re-checks against the historical store); definite-new
+    rows flow through the exact per-key fold with maybe_seen = 0."""
+    for q in spark.streams.active:
+        if q.name == query_name:
+            q.stop()
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .option("pathGlobFilter", glob)
+        .parquet(docs_dir)
+        .filter(stream_filter)
+    )
+    keyed = stream.select(
+        F.expr(DUP_KEY_EXPR).alias("dup_key"), "doc_id"
+    ).withColumn("maybe_seen", F.expr(_maybe_seen_expr(bloom_words)))
+    fresh = keyed.filter("maybe_seen = 0").drop("maybe_seen")
+    out = fresh.groupBy("dup_key").applyInPandasWithState(
+        _dedup_group,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    ).withColumn("maybe_seen", F.lit(0))
+
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink_dir)
+
+    maybe_sink = f"{sink_dir}_maybe"
+
+    def _append_maybe(batch_df: DataFrame, _batch_id: int) -> None:
+        (batch_df.filter("maybe_seen = 1")
+         .select("dup_key", F.lit(None).cast("bigint").alias("canonical_id"),
+                 F.lit(None).cast("bigint").alias("n_members"), "maybe_seen")
+         .write.mode("append").parquet(maybe_sink))
+
+    q_exact = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(_append)
+        .queryName(query_name)
+        .start()
+    )
+    q_maybe = (
+        keyed.writeStream.outputMode("append")
+        .foreachBatch(_append_maybe)
+        .queryName(query_name + "_maybe")
+        .start()
+    )
+    return q_exact, q_maybe, maybe_sink
