@@ -155,3 +155,64 @@ def test_fallback_decode_isolates_pathological_page(monkeypatch):
     assert by["u1"]["extracted_text"] is None
     assert by["u0"]["error"] is None and by["u0"]["extracted_text"] == "A alpha beta"
     assert by["u2"]["error"] is None and by["u2"]["extracted_text"] == "C epsilon zeta"
+
+
+def test_fallback_infer_isolates_pathological_page(monkeypatch):
+    """Round-7 infer batching keeps S3 semantics: when the batched infer
+    fails AND one page's per-page infer also fails, that page alone
+    degrades to an error row."""
+    import usls_doc_spark.pipeline.extract as px
+    from usls_doc_spark.kernels.stub_layout import StubLayoutModel
+
+    def boom_batched(*a, **k):
+        raise RuntimeError("batched infer exploded")
+
+    monkeypatch.setattr(px, "infer_pages_batched", boom_batched)
+
+    class FlakyModel(StubLayoutModel):
+        calls = 0
+
+        def infer(self, blocks, two_col):
+            FlakyModel.calls += 1
+            if FlakyModel.calls == 2:
+                raise ValueError("pathological infer page")
+            return super().infer(blocks, two_col)
+
+    htmls = [
+        b"<html><body><h1>A</h1><p>alpha beta</p></body></html>",
+        b"<html><body><h1>B</h1><p>gamma delta</p></body></html>",
+        b"<html><body><h1>C</h1><p>epsilon zeta</p></body></html>",
+    ]
+    rows = px.extract_rows(htmls, ["u0", "u1", "u2"], FlakyModel())
+    by = {r["url"]: r for r in rows}
+    assert by["u1"]["error"] is not None and "pathological" in by["u1"]["error"]
+    assert by["u0"]["error"] is None and by["u0"]["extracted_text"] == "A alpha beta"
+    assert by["u2"]["error"] is None and by["u2"]["extracted_text"] == "C epsilon zeta"
+
+
+def test_infer_pages_batched_bitwise_equal_edge_pages():
+    """infer_pages_batched == per-page model.infer bit-for-bit, including
+    the segmented-prefix edge cases: empty leading/middle/trailing pages
+    (a trailing empty page once corrupted the preceding page's height via
+    reduceat — pinned here) and two-column pages mid-batch."""
+    import numpy as np
+
+    from usls_doc_spark.kernels.boilerplate import parse_blocks
+    from usls_doc_spark.kernels.stub_layout import (
+        StubLayoutModel,
+        infer_pages_batched,
+    )
+
+    def page(words, two=False):
+        body = " ".join(f"w{k}" for k in range(words))
+        return parse_blocks(f"<html><body><h1>T</h1><p>{body}</p></body></html>")
+
+    model = StubLayoutModel()
+    page_blocks = [[], page(3), page(400), [], page(40), page(7), []]
+    two_cols = [True, False, True, False, True, False, True]
+    batched = infer_pages_batched(model, page_blocks, two_cols)
+    for (b, tc), (p2, s2, c2) in zip(zip(page_blocks, two_cols), batched):
+        p1, s1, c1 = model.infer(b, tc)
+        assert np.array_equal(p1, p2)
+        assert s1 == s2
+        assert list(c1) == list(c2)

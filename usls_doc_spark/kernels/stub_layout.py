@@ -153,3 +153,135 @@ class StubLayoutModel:
             rows[ar, 4 + cid] = conf_arr * np.float32(0.9)
             preds[1::2] = rows
         return preds, spec, classes
+
+
+def infer_pages_batched(
+    model: StubLayoutModel,
+    page_blocks: list[list[Block]],
+    two_cols: list[bool],
+) -> list[tuple[np.ndarray, LetterboxSpec, list[str]]]:
+    """Batch StubLayoutModel.infer across all of an Arrow batch's pages in
+    one numpy pass — bit-identical to calling ``model.infer`` per page
+    (corpus A/B in tests/test_extract_pipeline.py).
+
+    What amortizes (round-7 kernel lever, the decode_preds_batched
+    pattern one stage earlier): block classification runs ONCE over the
+    concatenation of every page's blocks (engaging classify_blocks'
+    vector path, whose fixed fromiter/alloc cost made it a loss per-page
+    below 256 blocks); the single-column flow layout becomes ONE
+    segmented prefix sum over all eligible pages (exactly the integers of
+    flow_layout's per-page paths); and the raw-head row build is one
+    [total_blocks, 4+C] fill + one dup copy instead of two allocations
+    per page. Two-column pages keep the sequential flow_layout loop (the
+    column balancing is inherently per-page) but still join the batched
+    classify and row build. Per-page LetterboxSpecs are scalar and stay
+    per-page.
+    """
+    n_pages = len(page_blocks)
+    counts = np.fromiter((len(b) for b in page_blocks), dtype=np.int64,
+                         count=n_pages)
+    total = int(counts.sum())
+    offs = np.zeros(n_pages + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    all_blocks: list[Block] = [b for pb in page_blocks for b in pb]
+    classes_all, conf_all = classify_blocks(all_blocks)
+
+    # --- flow: segmented vector path for single-column pages ------------
+    boxes_all = np.zeros((total, 4), dtype=np.float32)
+    page_h = np.zeros(n_pages, dtype=np.int64)
+    body = np.fromiter(
+        (c not in ("abandon", "title") for c in classes_all),
+        dtype=bool, count=total,
+    )
+    body_counts = np.array(
+        [int(body[offs[i]:offs[i + 1]].sum()) for i in range(n_pages)],
+        dtype=np.int64,
+    )
+    eligible = np.array(
+        [not (two_cols[i] and body_counts[i] >= 2) for i in range(n_pages)],
+        dtype=bool,
+    )
+    el_pages = np.nonzero(eligible)[0]
+    if len(el_pages):
+        el_counts = counts[el_pages]
+        blk_mask = np.zeros(total, dtype=bool)
+        for p in el_pages:
+            blk_mask[offs[p]:offs[p + 1]] = True
+        chars = np.fromiter(
+            (all_blocks[j].n_chars for j in np.nonzero(blk_mask)[0]),
+            dtype=np.int64, count=int(el_counts.sum()),
+        )
+        nn = np.maximum(chars, 1)
+        cpl = max(1, CONTENT_W // CHAR_W)
+        h = (nn + cpl - 1) // cpl * LINE_H
+        step = h + BLOCK_GAP
+        # zero-padded inclusive prefix: cum0[j] = sum(step[:j]) — gives both
+        # the per-block exclusive prefix AND exact per-segment totals, and
+        # indexes stay in range even for empty leading/trailing pages
+        cum0 = np.zeros(len(step) + 1, dtype=np.int64)
+        np.cumsum(step, out=cum0[1:])
+        seg_starts = np.zeros(len(el_pages), dtype=np.int64)
+        if len(el_pages) > 1:
+            np.cumsum(el_counts[:-1], out=seg_starts[1:])
+        # reset the prefix at each page boundary
+        base = np.repeat(cum0[seg_starts], el_counts)
+        y = MARGIN + (cum0[:-1] - base)
+        eb = np.zeros((len(chars), 4), dtype=np.float32)
+        eb[:, 0] = MARGIN
+        eb[:, 1] = y
+        eb[:, 2] = np.minimum(nn, cpl) * CHAR_W
+        eb[:, 3] = h
+        boxes_all[blk_mask] = eb
+        # per-page y_end -> page height (empty pages keep the floor)
+        seg_tot = cum0[seg_starts + el_counts] - cum0[seg_starts]
+        ph = np.maximum(MARGIN + seg_tot - BLOCK_GAP + MARGIN,
+                        MARGIN * 2 + LINE_H)
+        page_h[el_pages] = ph
+    for p in np.nonzero(~eligible)[0]:
+        pb = page_blocks[p]
+        bxs, ph_p, _pw = flow_layout(
+            pb, classes_all[offs[p]:offs[p + 1]], two_cols[p]
+        )
+        boxes_all[offs[p]:offs[p + 1]] = bxs
+        page_h[p] = ph_p
+
+    # --- per-page specs + per-block ratio vector ------------------------
+    specs = [
+        letterbox_spec(int(page_h[i]), PAGE_W, CANVAS, CANVAS, center=False)
+        for i in range(n_pages)
+    ]
+    r_blk = np.repeat(
+        np.array([np.float32(s.ratio) for s in specs], dtype=np.float32), counts
+    )
+
+    # --- batched canvas transform + raw-head row build ------------------
+    n_cls = len(model.names)
+    canvas = boxes_all.copy()
+    canvas[:, 0] = canvas[:, 0] * r_blk  # pad offsets are 0 (center=False)
+    canvas[:, 1] = canvas[:, 1] * r_blk
+    canvas[:, 2] = canvas[:, 2] * r_blk
+    canvas[:, 3] = canvas[:, 3] * r_blk
+    name_to_id = {nm: k for k, nm in enumerate(model.names)}
+    cid = np.fromiter(
+        (name_to_id[c] for c in classes_all), dtype=np.int64, count=total
+    )
+    rows = np.zeros((total, 4 + n_cls), dtype=np.float32)
+    rows[:, 0] = canvas[:, 0] + canvas[:, 2] / np.float32(2.0)
+    rows[:, 1] = canvas[:, 1] + canvas[:, 3] / np.float32(2.0)
+    rows[:, 2] = canvas[:, 2]
+    rows[:, 3] = canvas[:, 3]
+    ar = np.arange(total)
+    rows[ar, 4 + cid] = conf_all
+    dup = rows.copy()
+    dup[ar, 4 + cid] = conf_all * np.float32(0.9)
+
+    out = []
+    for i in range(n_pages):
+        lo, hi = int(offs[i]), int(offs[i + 1])
+        n = hi - lo
+        preds = np.zeros((2 * n, 4 + n_cls), dtype=np.float32)
+        if n:
+            preds[0::2] = rows[lo:hi]
+            preds[1::2] = dup[lo:hi]
+        out.append((preds, specs[i], classes_all[lo:hi]))
+    return out

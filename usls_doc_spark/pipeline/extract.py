@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 
 from ..kernels.boilerplate import TEXTUAL_CLASSES, parse_blocks
-from ..kernels.stub_layout import StubLayoutModel
+from ..kernels.stub_layout import StubLayoutModel, infer_pages_batched
 from ..kernels.xycut import xycut_order
 from ..kernels.yolo_decode import (
     abandon_filter_and_round,
@@ -143,34 +143,68 @@ class _DecodeError:
         self.msg = msg
 
 
+def _error_row(url: str, msg: str) -> dict:
+    return {
+        "url": url,
+        "extracted_text": None,
+        "n_blocks": 0,
+        "extracted_bytes": 0,
+        "blocks": [],
+        "error": msg,
+    }
+
+
 def extract_rows(htmls, urls, model: StubLayoutModel) -> list[dict]:
-    """One Arrow batch of pages -> extraction rows, with the YOLO decode
-    BATCHED across all the batch's pages in one numpy pass
-    (kernels/yolo_decode.decode_preds_batched — bit-identical to the
-    per-page decode, both asserted by the A/B test and re-checked here by
-    falling back per page if the batched call ever fails). Parse/infer
-    stay per page (their state machines are row-local); per-row error
-    isolation (S3 skip-unreadable semantics) is preserved because corrupt
-    rows error out in the per-page parse/infer phase and never enter the
-    batched decode."""
-    staged: list[tuple] = []  # (url, blocks, preds, spec) | (url, error_row)
+    """One Arrow batch of pages -> extraction rows, with BOTH the stub
+    inference (round 7: kernels/stub_layout.infer_pages_batched — one
+    classify pass, one segmented flow prefix sum, one raw-head fill
+    across the whole batch) and the YOLO decode
+    (kernels/yolo_decode.decode_preds_batched) batched across all the
+    batch's pages in single numpy passes — each bit-identical to its
+    per-page form (corpus A/B tests), and each re-checked here by
+    falling back per page if the batched call ever fails. Parse stays
+    per page (its state machine is row-local); per-row error isolation
+    (S3 skip-unreadable semantics) is preserved because corrupt rows
+    error out in the per-page parse phase, and both batched stages
+    degrade to try-wrapped per-page calls on failure."""
+    parsed: list[tuple] = []  # (url, blocks, two_col) | (url, error_row)
     for h, u in zip(htmls, urls):
         try:
             if h is None:
                 raise ValueError("null html")
             html = bytes(h).decode("utf-8", errors="replace")
             blocks = parse_blocks(html)
-            preds, spec, _classes = model.infer(blocks, _TWO_COL_MARKER in html)
-            staged.append((u, blocks, preds, spec))
+            parsed.append((u, blocks, _TWO_COL_MARKER in html))
         except Exception as e:
-            staged.append((u, {
-                "url": u,
-                "extracted_text": None,
-                "n_blocks": 0,
-                "extracted_bytes": 0,
-                "blocks": [],
-                "error": f"{type(e).__name__}: {e}"[:500],
-            }))
+            parsed.append((u, _error_row(u, f"{type(e).__name__}: {e}"[:500])))
+    plive = [s for s in parsed if len(s) == 3]
+    try:
+        inferred = infer_pages_batched(
+            model, [s[1] for s in plive], [s[2] for s in plive]
+        )
+    except Exception:
+        # defensive: degrade to the per-page path so a pathological page
+        # errors alone instead of failing the batch (same discipline as
+        # the decode fallback below)
+        inferred = []
+        for s in plive:
+            try:
+                inferred.append(model.infer(s[1], s[2]))
+            except Exception as e:
+                inferred.append(_DecodeError(f"{type(e).__name__}: {e}"[:500]))
+    staged: list[tuple] = []  # (url, blocks, preds, spec) | (url, error_row)
+    ii = 0
+    for s in parsed:
+        if len(s) == 2:
+            staged.append(s)
+        else:
+            inf = inferred[ii]
+            ii += 1
+            if isinstance(inf, _DecodeError):
+                staged.append((s[0], _error_row(s[0], inf.msg)))
+            else:
+                preds, spec, _classes = inf
+                staged.append((s[0], s[1], preds, spec))
     live = [s for s in staged if len(s) == 4]
     try:
         decoded = decode_preds_batched(
@@ -201,14 +235,7 @@ def extract_rows(htmls, urls, model: StubLayoutModel) -> list[dict]:
             d = decoded[di]
             di += 1
             if isinstance(d, _DecodeError):
-                rows.append({
-                    "url": s[0],
-                    "extracted_text": None,
-                    "n_blocks": 0,
-                    "extracted_bytes": 0,
-                    "blocks": [],
-                    "error": d.msg,
-                })
+                rows.append(_error_row(s[0], d.msg))
             else:
                 rows.append(_assemble_page(s[0], s[1], d))
     return rows
