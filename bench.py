@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     # round-7 additions
     "kmeans_ivf_build",
     "dup_char_kgram_fraction",
+    "lm_bigram_fluency",
 ]
 
 # Streaming surface (round-5 VERDICT item 5): each callable drains a full

@@ -964,6 +964,100 @@ GROUP BY w.doc_id
 """
 
 
+LM_PPB = 1_000_000_000  # probability quantization: parts-per-billion
+
+
+def q_lm_bigram_fluency(d: Dialect) -> str:
+    """CCNet-style n-gram LM quality scoring (round 7): a word-bigram LM
+    with add-one smoothing is trained on the reference half of the corpus
+    (even doc_ids — the same history convention as bloom_dedup_probe) and
+    scores EVERY document by its mean conditional bigram probability plus
+    its out-of-vocabulary rate — the perplexity-filter decision of CCNet
+    (Wenzek et al. 2020: a KenLM trained on Wikipedia ranks Common Crawl
+    documents; low-probability docs are dropped or bucketed). Higher
+    avg_prob = more predictable under the reference LM.
+
+    Hash-exactness without ln(): true log-perplexity needs a transcendental
+    whose last-ulp rounding is NOT guaranteed identical across libm
+    implementations, so this restates the filter monotonically in exact
+    arithmetic — each bigram's smoothed conditional probability
+    p = (c2 + 1) / (c1 + V) is ONE IEEE division (correctly rounded,
+    engine-identical), quantized to integer parts-per-billion, and the
+    per-doc mean is an exact BIGINT sum DIV count. The only double output
+    (oov_rate) is a single division of two exact integers.
+
+    Scale shape: bigram/context/vocab counts are three map-side-combinable
+    hash aggregates over the train half; scoring is three hash equi-joins
+    (bigram key, context key, word key), all AQE-splittable, with the
+    add-one COALESCE making unseen bigrams and OOV contexts well-defined;
+    one final per-doc agg. Vocab size V rides along as a broadcast 1-row
+    CROSS JOIN. No window function; state per mapper is bounded by
+    distinct keys per partition, never corpus size."""
+    ws = d.split("text")
+    n = d.array_len("ws")
+    w_i = d.element("ws", "i")
+    w_i1 = d.element("ws", "i + 1")
+    if d.name == "spark":
+        # throw-proof under Catalyst CSE (CLAUDE.md): ascending-guarded
+        # sequence + try_element_at, though i+1 <= n by the seq bound
+        w_i = "try_element_at(ws, i)"
+        w_i1 = "try_element_at(ws, i + 1)"
+    p_q = (
+        f"CAST(round(({LM_PPB}.0 * (COALESCE(b2.c2, 0) + 1))"
+        f" / (COALESCE(b1.c1, 0) + v.vsz)) AS BIGINT)"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {ws} AS ws FROM documents
+),
+big AS (
+  SELECT doc_id, {w_i} AS w1, {w_i1} AS w2
+  FROM docs {d.explode(d.seq("1", f"greatest({n} - 1, 1)"), "i")}
+  WHERE {n} >= 2
+),
+train_big AS (SELECT w1, w2 FROM big WHERE doc_id % 2 = 0),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM train_big GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM train_big GROUP BY w1),
+vocab AS (
+  SELECT DISTINCT w FROM (
+    SELECT {d.element("ws", "i")} AS w
+    FROM docs {d.explode(d.seq("1", f"greatest({n}, 1)"), "i")}
+    WHERE doc_id % 2 = 0
+  ) t
+),
+vsz AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM vocab),
+scored AS (
+  SELECT g.doc_id, {p_q} AS p_ppb
+  FROM big g
+  LEFT JOIN c2 b2 ON g.w1 = b2.w1 AND g.w2 = b2.w2
+  LEFT JOIN c1 b1 ON g.w1 = b1.w1
+  CROSS JOIN vsz v
+),
+oov AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(CASE WHEN vb.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM (
+    SELECT doc_id, {d.element("ws", "i")} AS w
+    FROM docs {d.explode(d.seq("1", f"greatest({n}, 1)"), "i")}
+  ) t LEFT JOIN vocab vb ON t.w = vb.w
+  GROUP BY t.doc_id
+)
+SELECT o.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       COALESCE(s.avg_prob_ppb, 0) AS avg_prob_ppb,
+       o.n_oov,
+       CAST(o.n_oov AS DOUBLE) / o.n_words AS oov_rate
+FROM oov o
+LEFT JOIN (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST({d.intdiv("sum(p_ppb)", "count(*)")} AS BIGINT) AS avg_prob_ppb
+  FROM scored GROUP BY doc_id
+) s ON o.doc_id = s.doc_id
+"""
+
+
 CHAR_KGRAM = 50  # character window length (the ExactSubstr granularity)
 CHAR_KGRAM_MOD = 1_000_000_007  # polynomial rolling-hash modulus, base 31
 
@@ -1194,6 +1288,7 @@ TEXT_QUERIES = {
     "zorder_cluster": q_zorder_cluster,
     "dup_window_fraction": q_dup_window_fraction,
     "dup_char_kgram_fraction": q_dup_char_kgram_fraction,
+    "lm_bigram_fluency": q_lm_bigram_fluency,
     "lsh_recall": q_lsh_recall,
     "decontaminate_ngram_overlap": q_decontaminate,
     "repetition_filter": q_repetition_filter,
