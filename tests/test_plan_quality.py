@@ -363,3 +363,42 @@ def test_hll_sketch_is_bounded_aggregates_only(spark):
     assert "partial_max" in plan  # register combine before the shuffle
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "text" in read and "lang" in read and "doc_id" not in read
+
+
+def test_dup_char_kgram_is_hash_agg_not_window(spark):
+    """The char-k-gram dedup signal must carry the word form's shape:
+    window doc-frequencies as map-side-combinable hash aggregates (a
+    corpus-wide boilerplate substring collapses per mapper), verdict via
+    an AQE-splittable hash equi-join — never a count OVER window on the
+    hash, and never a cartesian."""
+    from usls_doc_spark.queries import build_registry
+
+    qs, _ = build_registry()
+    plan = plan_of(qs["dup_char_kgram_fraction"](spark, SF_DIR))
+    assert "windowspecdefinition" not in plan and "row_number" not in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert all("lang" not in r and "source" not in r for r in reads)
+
+
+def test_lm_fluency_equi_joins_no_window(spark):
+    """LM scoring must be pure count aggregates + hash equi-joins on the
+    bigram/context/word keys (all AQE-splittable); the 1-row vocab-size
+    side may ride a broadcast; never a window, never a cartesian against
+    anything bigger than that 1-row side."""
+    from usls_doc_spark.queries import build_registry
+
+    qs, _ = build_registry()
+    plan = plan_of(qs["lm_bigram_fluency"](spark, SF_DIR))
+    assert "windowspecdefinition" not in plan and "row_number" not in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is the 1-row vocab-size broadcast
+    import re
+
+    nlj = len(re.findall(r"BroadcastNestedLoopJoin", plan))
+    assert nlj <= 1
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert all("lang" not in r and "source" not in r for r in reads)
