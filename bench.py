@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "kmeans_ivf_build",
     "dup_char_kgram_fraction",
     "lm_bigram_fluency",
+    "dedup_semantic_cells",
 ]
 
 # Streaming surface (round-5 VERDICT item 5): each callable drains a full

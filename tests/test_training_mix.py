@@ -243,3 +243,64 @@ def test_kmeans_ivf_build_plan_broadcasts_no_global_window(spark):
     assert plan.count("+- Window ") <= 1
     assert "WindowGroupLimit" in plan  # top-3 pruned before the shuffle
     assert plan.count("HashAggregate") >= 2  # partial+final combine
+
+
+def test_dedup_semantic_cells_matches_numpy_replay(spark):
+    """Round-7 SemDeDup: trained-cell assignment + within-cell cosine
+    drops must equal an independent numpy replay (float64 cosine — the
+    dot64 discipline makes Spark's doubles bitwise-stable, so exact
+    comparison against numpy's differently-associated dot needs only a
+    threshold margin check: no corpus pair sits within 1e-9 of the
+    threshold, asserted)."""
+    from usls_doc_spark.operators.training_mix import (
+        KMEANS_ITERS,
+        SEMDEDUP_COS,
+    )
+    from usls_doc_spark.queries import _register_views
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'")
+    emb = con.sql("SELECT vec_id, embedding FROM embeddings ORDER BY vec_id").fetchall()
+    V = np.array([r[1] for r in emb], dtype=np.float32).astype(np.float64)
+    ids = np.array([r[0] for r in emb])
+    scaled = V * KMEANS_SCALE
+    Q = np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).astype(np.int64)
+    C = Q[ids < KMEANS_K][np.argsort(ids[ids < KMEANS_K])]
+    cids = np.arange(KMEANS_K)[None, :]
+
+    def assign(cent):
+        dist = ((Q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return (dist * KMEANS_K + cids).min(axis=1) % KMEANS_K
+
+    for _ in range(KMEANS_ITERS):
+        cl = assign(C)
+        newC = C.copy()
+        for c in range(KMEANS_K):
+            m = cl == c
+            if m.sum():
+                newC[c] = np.floor_divide(Q[m].sum(axis=0), int(m.sum()))
+        C = newC
+    cell = assign(C)
+
+    nrm = np.sqrt((V * V).sum(axis=1))
+    dropped = set()
+    margin = []
+    for c in range(KMEANS_K):
+        mem = np.nonzero(cell == c)[0]
+        for x in range(len(mem)):
+            for y in range(x + 1, len(mem)):
+                a, b = mem[x], mem[y]
+                cos = float(V[a] @ V[b]) / (nrm[a] * nrm[b])
+                margin.append(abs(cos - SEMDEDUP_COS))
+                if cos >= SEMDEDUP_COS:
+                    dropped.add(int(ids[max(a, b)]))
+    assert min(margin) > 1e-9  # threshold is decision-stable across assoc.
+    want = {(int(i), int(cell[k])) for k, i in enumerate(ids) if int(i) not in dropped}
+
+    _register_views(spark, SF_DIR)
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in spark.sql(render_spark("dedup_semantic_cells")).collect()
+    }
+    assert got == want
+    assert dropped  # the corpus genuinely exercises the drop branch

@@ -176,36 +176,11 @@ def _floor_div(d: Dialect, a: str, b: str) -> str:
     return d.intdiv(f"(({a}) - {r})", b)
 
 
-def q_kmeans_ivf_build(d: Dialect) -> str:
-    """Trained IVF index build + probe: {KMEANS_ITERS} full Lloyd
-    iterations over the {KMEANS_K} seed centroids (vec_id < K), then
-    every vector is assigned to its nearest TRAINED centroid (its IVF
-    cell) and the first 10 vectors probe ONLY their own cell for top-3
-    neighbors by exact quantized L2 — the ann_ivf_probe chain with a
-    trained, not seeded, coarse quantizer (r6 VERDICT item 4).
-
-    Exactness (the kmeans_lloyd_step discipline, iterated): coordinates
-    quantize once to 1e6 fixed-point BIGINTs (qv); every distance is an
-    exact integer; argmin ties break to the smaller centroid id via the
-    dist*K+cid MIN encoding; the centroid update re-quantizes onto the
-    SAME integer grid via exact floor division (_floor_div — portable
-    across Spark DIV / DuckDB //), so iteration i+1's input is a BIGINT
-    vector both engines agree on bit-for-bit. Per-dim member sums route
-    through d.wide() (DECIMAL(38,0)/HUGEINT) so they cannot overflow
-    int64 at any corpus size, then cast back after the division. A
-    cluster that loses all members keeps its previous centroid
-    (COALESCE against the prior round — deterministic in both engines).
-
-    Spark plan shape at scale (the host_graph_pagerank unrolling
-    pattern): iterations are unrolled CTEs; each is one scan of the
-    quantized vectors CROSS JOINed with the K-row centroid table (AQE
-    broadcasts it — plan-asserted), one map-side-combinable hash agg per
-    assignment (K candidate rows per vector collapse in-mapper), and one
-    K-row-output agg for the update (64 SUMs + COUNT grouped by cluster
-    — mapper state K x 65 cells, corpus-size-independent). At 100 TB qv
-    would be a cached/checkpointed table; here Catalyst CSE shares the
-    scan. The probe is the standard IVF equi-join on cell id: |G|/K
-    candidates per query instead of |G|."""
+def _lloyd_cells_sql(d: Dialect) -> str:
+    """Shared WITH-prefix: {KMEANS_ITERS} exact integer Lloyd iterations
+    ending in a `cells` CTE mapping every vec_id to its trained-centroid
+    cell, plus the `qv` quantized-vector CTE. See q_kmeans_ivf_build's
+    docstring for the exactness + plan arguments."""
     K, DIMS = KMEANS_K, KMEANS_DIMS
     qcols = ", ".join(
         f"{_quant(d, 'embedding', str(k))} AS q{k}" for k in range(1, DIMS + 1)
@@ -217,12 +192,6 @@ def q_kmeans_ivf_build(d: Dialect) -> str:
     def cdist(v: str, c: str) -> str:
         return balanced_sum(
             [f"(({v}.q{k} - {c}.d{k}) * ({v}.q{k} - {c}.d{k}))"
-             for k in range(1, DIMS + 1)]
-        )
-
-    def vdist(a: str, b: str) -> str:
-        return balanced_sum(
-            [f"(({a}.q{k} - {b}.q{k}) * (({a}.q{k} - {b}.q{k})))"
              for k in range(1, DIMS + 1)]
         )
 
@@ -271,7 +240,50 @@ cells AS (
          CAST(MIN(({cdist("v", "c")}) * {K} + c.cid) % {K} AS BIGINT) AS cell
   FROM qv v CROSS JOIN {prev} c
   GROUP BY v.vec_id
-),
+)"""
+    return sql
+
+
+def q_kmeans_ivf_build(d: Dialect) -> str:
+    """Trained IVF index build + probe: {KMEANS_ITERS} full Lloyd
+    iterations over the {KMEANS_K} seed centroids (vec_id < K), then
+    every vector is assigned to its nearest TRAINED centroid (its IVF
+    cell) and the first 10 vectors probe ONLY their own cell for top-3
+    neighbors by exact quantized L2 — the ann_ivf_probe chain with a
+    trained, not seeded, coarse quantizer (r6 VERDICT item 4).
+
+    Exactness (the kmeans_lloyd_step discipline, iterated): coordinates
+    quantize once to 1e6 fixed-point BIGINTs (qv); every distance is an
+    exact integer; argmin ties break to the smaller centroid id via the
+    dist*K+cid MIN encoding; the centroid update re-quantizes onto the
+    SAME integer grid via exact floor division (_floor_div — portable
+    across Spark DIV / DuckDB //), so iteration i+1's input is a BIGINT
+    vector both engines agree on bit-for-bit. Per-dim member sums route
+    through d.wide() (DECIMAL(38,0)/HUGEINT) so they cannot overflow
+    int64 at any corpus size, then cast back after the division. A
+    cluster that loses all members keeps its previous centroid
+    (COALESCE against the prior round — deterministic in both engines).
+
+    Spark plan shape at scale (the host_graph_pagerank unrolling
+    pattern): iterations are unrolled CTEs; each is one scan of the
+    quantized vectors CROSS JOINed with the K-row centroid table (AQE
+    broadcasts it — plan-asserted), one map-side-combinable hash agg per
+    assignment (K candidate rows per vector collapse in-mapper), and one
+    K-row-output agg for the update (64 SUMs + COUNT grouped by cluster
+    — mapper state K x 65 cells, corpus-size-independent). At 100 TB qv
+    would be a cached/checkpointed table; here Catalyst CSE shares the
+    scan. The probe is the standard IVF equi-join on cell id: |G|/K
+    candidates per query instead of |G|."""
+    K, DIMS = KMEANS_K, KMEANS_DIMS
+
+    def vdist(a: str, b: str) -> str:
+        return balanced_sum(
+            [f"(({a}.q{k} - {b}.q{k}) * (({a}.q{k} - {b}.q{k})))"
+             for k in range(1, DIMS + 1)]
+        )
+
+    sql = _lloyd_cells_sql(d)
+    sql += f""",
 qset AS (SELECT vec_id, cell FROM cells WHERE vec_id < 10),
 cands AS (
   SELECT q.vec_id AS qid, g.vec_id AS nid, q.cell AS cell
@@ -293,9 +305,65 @@ SELECT qid, nid, cell, qdist FROM (
     return sql
 
 
+SEMDEDUP_COS = 0.4  # within-cell duplicate threshold (the corpus's planted
+# near-dup pairs sit above it; SemDeDup production values run ~0.95+)
+SEMDEDUP_CELL_CAP = 1024  # max members per cell entering the pair self-join
+
+
+def q_dedup_semantic_cells(d: Dialect) -> str:
+    """SemDeDup (Abbas et al. 2023, round 7): semantic deduplication via
+    k-means clustering — embeddings are clustered by the TRAINED Lloyd
+    centroids (the kmeans_ivf_build chain), then only WITHIN-cell pairs
+    are compared by exact cosine; of any pair above the threshold the
+    larger vec_id is dropped. Returns the kept vectors with their cell.
+    This is the scale trick of the paper: clustering bounds the quadratic
+    pair term to cell populations (|G|²/K instead of |G|² in expectation)
+    while near-duplicates — which by construction land in the same cell —
+    stay comparable.
+
+    Exactness: cell assignment is the integer-exact Lloyd chain
+    (_lloyd_cells_sql); cosines reuse the similarity.py discipline —
+    pre-normalized once per vector, explicitly-associated f64 dot
+    (dialect.dot64), sqrt is IEEE-correctly-rounded so both engines agree
+    bitwise. Scale guard: cell membership entering the self-join is
+    capped at {SEMDEDUP_CELL_CAP} via a deterministic per-cell rank
+    (ordered by vec_id — the LABEL_CAP discipline of
+    dedup_embedding_cosine), bounding any hot cell's pair fan-out at
+    cap²/2; vectors beyond the cap pass through unexamined (kept)."""
+    from .dialect import dot64
+
+    self_dot = dot64("embedding", "embedding", KMEANS_DIMS)(d)
+    pair_dot = dot64("a.embedding", "b.embedding", KMEANS_DIMS)(d)
+    sql = _lloyd_cells_sql(d)
+    sql += f""",
+norms AS (
+  SELECT e.vec_id, e.embedding, sqrt({self_dot}) AS nrm, cl.cell
+  FROM embeddings e JOIN cells cl ON e.vec_id = cl.vec_id
+),
+capped AS (
+  SELECT vec_id, embedding, nrm, cell FROM (
+    SELECT vec_id, embedding, nrm, cell,
+           row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS _rnk
+    FROM norms
+  ) t WHERE _rnk <= {SEMDEDUP_CELL_CAP}
+),
+drops AS (
+  SELECT b.vec_id AS drop_id
+  FROM capped a JOIN capped b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ({pair_dot}) / (a.nrm * b.nrm) >= {SEMDEDUP_COS}
+)
+SELECT cl.vec_id, cl.cell
+FROM cells cl
+WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.drop_id = cl.vec_id)
+"""
+    return sql
+
+
 TRAINING_QUERIES = {
     "domain_mix_weights": q_domain_mix_weights,
     "bpe_merge_step": q_bpe_merge_step,
     "kmeans_lloyd_step": q_kmeans_lloyd_step,
     "kmeans_ivf_build": q_kmeans_ivf_build,
+    "dedup_semantic_cells": q_dedup_semantic_cells,
 }
