@@ -165,3 +165,53 @@ def test_dup_char_kgram_catches_word_split_duplication(spark):
     # the extra space shifts offsets but stride-1 char windows realign
     assert got[1] > 0 and got[2] > 0
     assert got[3] == 0
+
+
+def test_rollhash_kernel_equals_fold_reference():
+    """kernels/rollhash.py must produce EXACTLY the SQL fold's integers —
+    corpus + adversarial unicode + empty/short/boundary-length texts."""
+    from usls_doc_spark.kernels.rollhash import BASE, MOD, window_hashes_batched
+    from usls_doc_spark.operators.text_queries import CHAR_KGRAM
+
+    def fold_ref(text, k):
+        out = []
+        for i in range(max(len(text) - k + 1, 1)):
+            acc = 0
+            for ch in text[i : i + k]:
+                acc = (acc * BASE + ord(ch)) % MOD
+            out.append(acc)
+        return out
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    ]
+    texts += ["", "a", "x" * (CHAR_KGRAM - 1), "y" * CHAR_KGRAM,
+              "z" * (CHAR_KGRAM + 1),
+              "héllo wörld ünïcode ß∑œ∂ƒ 😀 emoji padding " * 3]
+    di, w = window_hashes_batched(texts, CHAR_KGRAM)
+    for t_i, t in enumerate(texts):
+        assert w[di == t_i].tolist() == fold_ref(t, CHAR_KGRAM), t_i
+
+
+def test_dup_char_kernel_callable_equals_spark_sql_template(spark):
+    """The registry's kernel-backed callable must equal the Spark-dialect
+    SQL-fold rendering row-for-row (in-dialect cross-check; the fold form
+    is the reference, too slow for the bench path)."""
+    from usls_doc_spark.queries import _register_views, build_registry
+
+    qs, _ = build_registry()
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dropped"])
+        for r in qs["dup_char_kgram_fraction"](spark, SF_DIR).collect()
+    }
+    from usls_doc_spark.operators.text_queries import render_spark
+
+    _register_views(spark, SF_DIR)
+    want = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dropped"])
+        for r in spark.sql(render_spark("dup_char_kgram_fraction")).collect()
+    }
+    assert got == want

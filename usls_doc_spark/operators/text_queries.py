@@ -1093,6 +1093,12 @@ def q_dup_char_kgram_fraction(d: Dialect) -> str:
     fold = f"(acc, c) -> (acc * 31 + c) % {mod}"
     n_win = f"greatest(n - {K - 1}, 1)"
     if d.name == "spark":
+        # REFERENCE rendering only: Spark evaluates higher-order lambdas
+        # interpreted (outside whole-stage codegen), so this O(n_chars x K)
+        # fold costs minutes at sf0.1 — the registry's Spark side is the
+        # O(n_chars) Rabin-Karp kernel (pipeline/chargrams.py, identical
+        # integers, equality asserted in tests/test_dup_window.py); this
+        # rendering stays as the in-dialect cross-check at small SF.
         codes = "transform(split(text, ''), c -> ascii(c))"
         win_i = f"aggregate(slice(cs, i, {K}), 0L, {fold})"
         wins_arr = f"transform(sequence(1, {n_win}), i -> {win_i})"
@@ -1104,14 +1110,24 @@ def q_dup_char_kgram_fraction(d: Dialect) -> str:
         )
         wins_arr = f"[{win_i} for i in range(1, {n_win} + 1)]"
         explode = ", unnest(hs) AS u(h)"
-    return f"""
-WITH codes AS (
-  SELECT doc_id, {codes} AS cs, length(text) AS n FROM documents
-),
-wins AS (
+    wins = f"""(
   SELECT doc_id, CAST(h AS BIGINT) AS h
-  FROM (SELECT doc_id, {wins_arr} AS hs FROM codes) x {explode}
-),
+  FROM (
+    SELECT doc_id, {wins_arr} AS hs
+    FROM (SELECT doc_id, {codes} AS cs, length(text) AS n FROM documents) c
+  ) x {explode}
+)"""
+    return dup_char_tail_sql(wins)
+
+
+def dup_char_tail_sql(wins_rel: str) -> str:
+    """The dialect-independent counting tail over a (doc_id, h) window
+    relation — shared by the SQL template above and the kernel-backed
+    Spark callable (pipeline/chargrams.py), so both sides aggregate the
+    hashes identically."""
+    dup = f"sum(CASE WHEN f.df >= {DUPWIN_MIN_FREQ} THEN 1 ELSE 0 END)"
+    return f"""
+WITH wins AS (SELECT * FROM {wins_rel} w0),
 doc_freq AS (
   SELECT h, CAST(count(*) AS BIGINT) AS df
   FROM (SELECT DISTINCT doc_id, h FROM wins)
@@ -1119,12 +1135,9 @@ doc_freq AS (
 )
 SELECT w.doc_id,
        CAST(count(*) AS BIGINT) AS n_windows,
-       CAST(sum(CASE WHEN f.df >= {DUPWIN_MIN_FREQ} THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_dup_windows,
-       CAST(sum(CASE WHEN f.df >= {DUPWIN_MIN_FREQ} THEN 1 ELSE 0 END)
-            AS DOUBLE) / count(*) AS dup_fraction,
-       CASE WHEN sum(CASE WHEN f.df >= {DUPWIN_MIN_FREQ} THEN 1 ELSE 0 END) * 2
-                 >= count(*) THEN 1 ELSE 0 END AS dropped
+       CAST({dup} AS BIGINT) AS n_dup_windows,
+       CAST({dup} AS DOUBLE) / count(*) AS dup_fraction,
+       CASE WHEN {dup} * 2 >= count(*) THEN 1 ELSE 0 END AS dropped
 FROM wins w JOIN doc_freq f ON w.h = f.h
 GROUP BY w.doc_id
 """

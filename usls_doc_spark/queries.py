@@ -390,6 +390,14 @@ def build_registry() -> tuple[dict, dict]:
         queries[name] = _sql_query(name)
         oracles[name] = TEXT_QUERIES[name](DUCK)
 
+    # char-k-gram dedup (round 7): Spark side runs the O(n) Rabin-Karp
+    # kernel through mapInPandas (Spark's interpreted HOF fold is minutes
+    # at sf0.1); the oracle is the unchanged SQL-fold template
+    from .pipeline.chargrams import dup_char_kgram_fraction
+
+    queries["dup_char_kgram_fraction"] = dup_char_kgram_fraction
+    oracles["dup_char_kgram_fraction"] = TEXT_QUERIES["dup_char_kgram_fraction"](DUCK)
+
     # anchor-text aggregation from raw page HTML (round 6): the crawl-
     # frontier lens — mapInPandas link scan + hot-key-safe hash agg,
     # oracle rebuilds every page's links in SQL from the generator spec
