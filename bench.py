@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "dup_char_kgram_fraction",
     "lm_bigram_fluency",
     "dedup_semantic_cells",
+    "export_roundtrip",
 ]
 
 # Streaming surface (round-5 VERDICT item 5): each callable drains a full

@@ -1,0 +1,158 @@
+"""Custom Spark DataSource reading the packed-shard JSONL export back —
+the round-trip of io/export.py's terminal sink, built on Spark 4's Python
+Data Source API (round 7).
+
+Why a custom source and not spark.read.json: the export's manifest IS the
+catalog — planning reads ONE small `_export_manifest.json` instead of
+listing (at 100 TB) millions of shard directories, each shard maps to
+exactly one InputPartition (shard files are written as one file per
+shard, so this is the natural parallelism), and every partition VERIFIES
+its shard's sha256 + line count against the manifest while reading — a
+corrupt or truncated shard fails loudly at scan time instead of
+poisoning training. This mirrors real table formats (Iceberg/Delta):
+manifest-driven planning, file-level integrity, partition pruning by
+construction (split/shard come from the manifest key, not file paths).
+
+Scale notes: partitions() runs driver-side on the manifest only (no
+filesystem listing); read() streams one shard's lines through json.loads
+(the demonstration path — an Arrow-batched variant would swap in
+pandas.read_json(lines=True) without changing the plan shape). The
+source is registered per-session via register_shard_source().
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+SHARD_SCHEMA = (
+    "split string, shard bigint, doc_id bigint, pack_id bigint, "
+    "n_tokens bigint, text string"
+)
+FORMAT_NAME = "usls_shards"
+
+
+class ShardPartition(InputPartition):
+    def __init__(self, split: str, shard: int, shard_dir: str,
+                 lines: int, sha256: str):
+        self.split = split
+        self.shard = shard
+        self.shard_dir = shard_dir
+        self.lines = lines
+        self.sha256 = sha256
+
+
+class ShardReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("usls_shards requires .option('path', <export dir>)")
+
+    def partitions(self):
+        from .export import MANIFEST_NAME
+
+        with open(os.path.join(self.path, MANIFEST_NAME)) as f:
+            manifest = json.load(f)
+        parts = []
+        for key, entry in sorted(manifest["shards"].items()):
+            # key: 'split=<s>/shard=<k>'
+            split = key.split("/")[0].split("=", 1)[1]
+            shard = int(key.split("=")[-1])
+            parts.append(
+                ShardPartition(split, shard, os.path.join(self.path, key),
+                               int(entry["lines"]), entry["sha256"])
+            )
+        return parts
+
+    def read(self, partition: ShardPartition):
+        files = sorted(glob.glob(os.path.join(partition.shard_dir, "part-*")))
+        h = hashlib.sha256()
+        n = 0
+        for fp in files:
+            with open(fp, "rb") as f:
+                for raw in f:
+                    h.update(raw)
+                    n += 1
+                    rec = json.loads(raw)
+                    yield (
+                        partition.split,
+                        partition.shard,
+                        int(rec["doc_id"]),
+                        int(rec["pack_id"]),
+                        int(rec["n_tokens"]),
+                        rec["text"],
+                    )
+        if n != partition.lines or h.hexdigest() != partition.sha256:
+            raise IOError(
+                f"shard integrity check failed for {partition.shard_dir}: "
+                f"{n} lines / sha {h.hexdigest()[:12]} vs manifest "
+                f"{partition.lines} / {partition.sha256[:12]}"
+            )
+
+
+class ShardDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> str:
+        return SHARD_SCHEMA
+
+    def reader(self, schema) -> ShardReader:
+        return ShardReader(self.options)
+
+
+def register_shard_source(spark) -> None:
+    """Idempotent per-session registration."""
+    spark.dataSource.register(ShardDataSource)
+
+
+def read_shards(spark, export_dir: str):
+    register_shard_source(spark)
+    return (
+        spark.read.format(FORMAT_NAME).option("path", export_dir).load()
+    )
+
+
+def export_roundtrip(spark, sf_dir: str):
+    """Registry query: export the packed shards to a work dir, read them
+    back through the manifest-planned DataSource (integrity-verified per
+    shard), and return the full row set — which must equal the
+    split_and_pack assignment joined back to document text (the DuckDB
+    oracle recomputes exactly that). Proves the terminal sink and its
+    round-trip source are lossless AND that the manifest/sha machinery
+    matches the bytes on disk."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .export import export_from_sf
+
+    out_dir = tempfile.mkdtemp(prefix="usls_shard_rt_")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    export_from_sf(spark, sf_dir, out_dir)
+    return read_shards(spark, out_dir)
+
+
+def export_roundtrip_oracle() -> str:
+    """DuckDB oracle: the split_and_pack template's assignment + the shard
+    binning arithmetic + the document text — no filesystem involved."""
+    from ..operators.dialect import DUCK
+    from ..operators.text_queries import TEXT_QUERIES
+
+    sp = TEXT_QUERIES["split_and_pack"](DUCK)
+    return f"""
+WITH sp AS ({sp})
+SELECT sp.split,
+       CAST(sp.pack_id // 4 AS BIGINT) AS shard,
+       sp.doc_id,
+       sp.pack_id,
+       sp.n_tokens,
+       d.text
+FROM sp JOIN documents d ON sp.doc_id = d.doc_id
+"""

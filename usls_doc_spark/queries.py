@@ -390,6 +390,14 @@ def build_registry() -> tuple[dict, dict]:
         queries[name] = _sql_query(name)
         oracles[name] = TEXT_QUERIES[name](DUCK)
 
+    # packed-shard export round-trip (round 7): terminal sink -> custom
+    # Python DataSource (manifest-planned, per-shard sha256-verified) ->
+    # full row set == the split_and_pack assignment + text, proven in SQL
+    from .io.shard_source import export_roundtrip, export_roundtrip_oracle
+
+    queries["export_roundtrip"] = export_roundtrip
+    oracles["export_roundtrip"] = export_roundtrip_oracle()
+
     # char-k-gram dedup (round 7): Spark side runs the O(n) Rabin-Karp
     # kernel through mapInPandas (Spark's interpreted HOF fold is minutes
     # at sf0.1); the oracle is the unchanged SQL-fold template
