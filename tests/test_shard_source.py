@@ -51,3 +51,40 @@ def test_corrupted_shard_fails_integrity_check(spark, tmp_path_factory):
     open(victim, "wb").write(data)
     with pytest.raises(Exception, match="integrity check failed"):
         read_shards(spark, out).count()
+
+
+def test_pushed_filters_prune_partitions_at_planning(spark, tmp_path_factory):
+    """EqualTo/In on split/shard must prune at the READER (manifest
+    planning), not post-scan: the reader materializes only matching
+    partitions, and the filtered read stays row-correct."""
+    from pyspark.sql.datasource import EqualTo, In
+
+    out = str(tmp_path_factory.mktemp("shard_prune") / "exp")
+    export_from_sf(spark, SF_DIR, out)
+    reader = ShardReader({"path": out})
+    all_parts = reader.partitions()
+    n_val = sum(1 for p in all_parts if p.split == "val")
+    assert 0 < n_val < len(all_parts)
+
+    reader2 = ShardReader({"path": out})
+    leftover = list(reader2.pushFilters([EqualTo(("split",), "val")]))
+    assert leftover == []  # fully consumed
+    pruned = reader2.partitions()
+    assert len(pruned) == n_val and all(p.split == "val" for p in pruned)
+
+    reader3 = ShardReader({"path": out})
+    leftover = list(reader3.pushFilters([In(("shard",), (0, 1))]))
+    assert leftover == []
+    assert {p.shard for p in reader3.partitions()} <= {0, 1}
+
+    # end-to-end: the filtered scan returns exactly the val rows
+    df = read_shards(spark, out)
+    val_rows = df.filter("split = 'val'").count()
+    assert val_rows == sum(p.lines for p in pruned)
+    # unsupported predicates are NOT consumed (Spark re-applies them)
+    reader4 = ShardReader({"path": out})
+    from pyspark.sql.datasource import GreaterThan
+
+    leftover = list(reader4.pushFilters([GreaterThan(("doc_id",), 10)]))
+    assert len(leftover) == 1
+    assert len(reader4.partitions()) == len(all_parts)

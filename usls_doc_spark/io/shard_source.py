@@ -51,6 +51,29 @@ class ShardReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("usls_shards requires .option('path', <export dir>)")
+        # accepted pushed predicates: {column: allowed value set}
+        self._pruned: dict[str, set] = {}
+
+    def pushFilters(self, filters):
+        """PARTITION PRUNING at planning time (Spark 4.1 filter pushdown):
+        EqualTo/In predicates on the manifest-key columns (split, shard)
+        are consumed here — partitions() then never materializes pruned
+        shards, so a `split = 'val'` scan plans |val shards| partitions
+        out of millions at 100 TB. Every other filter is returned for
+        Spark to evaluate post-scan (pushing them would not prune a
+        partition anyway: shard files are the read granularity)."""
+        from pyspark.sql.datasource import EqualTo, In
+
+        remaining = []
+        for f in filters:
+            col = f.attribute[0] if isinstance(f, (EqualTo, In)) else None
+            if col in ("split", "shard") and len(f.attribute) == 1:
+                vals = {f.value} if isinstance(f, EqualTo) else set(f.value)
+                prev = self._pruned.get(col)
+                self._pruned[col] = vals if prev is None else prev & vals
+            else:
+                remaining.append(f)
+        return remaining
 
     def partitions(self):
         from .export import MANIFEST_NAME
@@ -62,6 +85,10 @@ class ShardReader(DataSourceReader):
             # key: 'split=<s>/shard=<k>'
             split = key.split("/")[0].split("=", 1)[1]
             shard = int(key.split("=")[-1])
+            if "split" in self._pruned and split not in self._pruned["split"]:
+                continue
+            if "shard" in self._pruned and shard not in self._pruned["shard"]:
+                continue
             parts.append(
                 ShardPartition(split, shard, os.path.join(self.path, key),
                                int(entry["lines"]), entry["sha256"])
@@ -107,7 +134,10 @@ class ShardDataSource(DataSource):
 
 
 def register_shard_source(spark) -> None:
-    """Idempotent per-session registration."""
+    """Idempotent per-session registration. Python-source filter pushdown
+    is opt-in (Spark 4.1) and required once a reader implements
+    pushFilters — enabled here, runtime-settable."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ShardDataSource)
 
 
