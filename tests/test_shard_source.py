@@ -88,3 +88,52 @@ def test_pushed_filters_prune_partitions_at_planning(spark, tmp_path_factory):
     leftover = list(reader4.pushFilters([GreaterThan(("doc_id",), 10)]))
     assert len(leftover) == 1
     assert len(reader4.partitions()) == len(all_parts)
+
+
+def test_streaming_shard_ingest_two_waves(spark, tmp_path_factory):
+    """The streaming reader must pick up manifest growth across
+    micro-batches: wave 1 exposes half the shards, wave 2 the full
+    manifest — the drained sink equals the batch read exactly, with no
+    duplicates (offset = consumed shard keys)."""
+    import json as _json
+    import shutil
+
+    from usls_doc_spark.io.export import MANIFEST_NAME
+    from usls_doc_spark.io.shard_source import FORMAT_NAME, register_shard_source
+    from usls_doc_spark.streaming.sink import read_sink_or_empty
+    from usls_doc_spark.io.shard_source import SHARD_SCHEMA
+
+    src = str(tmp_path_factory.mktemp("shard_stream") / "exp")
+    export_from_sf(spark, SF_DIR, src)
+    full = _json.load(open(f"{src}/{MANIFEST_NAME}"))
+    keys = sorted(full["shards"])
+    assert len(keys) >= 4
+    half = {k: full["shards"][k] for k in keys[: len(keys) // 2]}
+    _json.dump({**full, "shards": half}, open(f"{src}/{MANIFEST_NAME}", "w"))
+
+    register_shard_source(spark)
+    sink = str(tmp_path_factory.mktemp("shard_stream_sink") / "out")
+    ckpt = str(tmp_path_factory.mktemp("shard_stream_ckpt"))
+    stream = spark.readStream.format(FORMAT_NAME).option("path", src).load()
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _i: df.write.mode("append").parquet(sink))
+        .option("checkpointLocation", ckpt)
+        .queryName("shard_ingest_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        wave1 = spark.read.parquet(sink).count()
+        assert wave1 == sum(e["lines"] for e in half.values())
+        # wave 2: the full manifest lands
+        _json.dump(full, open(f"{src}/{MANIFEST_NAME}", "w"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = read_sink_or_empty(spark, sink, SHARD_SCHEMA)
+    batch = read_shards(spark, src)
+    assert got.count() == batch.count()  # all rows, exactly once
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    shutil.rmtree(ckpt, ignore_errors=True)

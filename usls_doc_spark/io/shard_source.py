@@ -27,7 +27,12 @@ import hashlib
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SHARD_SCHEMA = (
     "split string, shard bigint, doc_id bigint, pack_id bigint, "
@@ -121,6 +126,87 @@ class ShardReader(DataSourceReader):
             )
 
 
+def _read_shard_rows(path: str, key: str, entry: dict):
+    """One shard's rows + the integrity check — shared by the batch
+    partition reader and the streaming reader."""
+    split = key.split("/")[0].split("=", 1)[1]
+    shard = int(key.split("=")[-1])
+    shard_dir = os.path.join(path, key)
+    h = hashlib.sha256()
+    n = 0
+    for fp in sorted(glob.glob(os.path.join(shard_dir, "part-*"))):
+        with open(fp, "rb") as f:
+            for raw in f:
+                h.update(raw)
+                n += 1
+                rec = json.loads(raw)
+                yield (
+                    split, shard, int(rec["doc_id"]), int(rec["pack_id"]),
+                    int(rec["n_tokens"]), rec["text"],
+                )
+    if n != int(entry["lines"]) or h.hexdigest() != entry["sha256"]:
+        raise IOError(
+            f"shard integrity check failed for {shard_dir}: "
+            f"{n} lines / sha {h.hexdigest()[:12]} vs manifest "
+            f"{entry['lines']} / {entry['sha256'][:12]}"
+        )
+
+
+class ShardStreamReader(SimpleDataSourceStreamReader):
+    """Streaming ingestion of the export: each micro-batch picks up the
+    manifest's shards not yet committed — the trainer-side 'consume
+    shards as the curation pipeline lands them' loop as a Structured
+    Streaming source. The offset is the sorted list of consumed shard
+    keys (JSON-serializable; a production variant would collapse it to a
+    per-split high-watermark once shard ids are monotone). Replay
+    between two offsets is deterministic — the shard set difference —
+    so exactly-once foreachBatch sinks recover cleanly, and every shard
+    is sha256-verified on (re)read."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("usls_shards requires .option('path', <export dir>)")
+
+    def _manifest(self) -> dict:
+        from .export import MANIFEST_NAME
+
+        try:
+            with open(os.path.join(self.path, MANIFEST_NAME)) as f:
+                return json.load(f)["shards"]
+        except FileNotFoundError:
+            return {}
+
+    def initialOffset(self) -> dict:
+        return {"done": []}
+
+    def read(self, start: dict):
+        shards = self._manifest()
+        done = set(start.get("done", []))
+        new = [k for k in sorted(shards) if k not in done]
+        # materialized, not a generator: the simple-stream API prefetches
+        # the batch driver-side and pickles it to executors (this is the
+        # documented low-throughput path — a cluster-scale variant would
+        # be a full DataSourceStreamReader with per-shard partitions,
+        # which the batch ShardReader already demonstrates)
+        rows = [
+            r for k in new for r in _read_shard_rows(self.path, k, shards[k])
+        ]
+        # a strict iterator over a materialized list: the harness calls
+        # next() on it (empty-batch validation) and pickles the cached
+        # entry — a lazy generator would fail the pickle
+        return iter(rows), {"done": sorted(done | set(new))}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        shards = self._manifest()
+        done = set(start.get("done", []))
+        for k in sorted(set(end.get("done", [])) - done):
+            yield from _read_shard_rows(self.path, k, shards[k])
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are self-contained; nothing external to ack
+
+
 class ShardDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -131,6 +217,9 @@ class ShardDataSource(DataSource):
 
     def reader(self, schema) -> ShardReader:
         return ShardReader(self.options)
+
+    def simpleStreamReader(self, schema) -> ShardStreamReader:
+        return ShardStreamReader(self.options)
 
 
 def register_shard_source(spark) -> None:
