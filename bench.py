@@ -112,6 +112,7 @@ STREAMING_BENCH = [
     "streaming_click_attribution_outer",
     "streaming_click_attribution_full",
     "streaming_events_hopping",
+    "streaming_dedup_minhash",
 ]
 
 

@@ -355,6 +355,15 @@ def build_registry() -> tuple[dict, dict]:
     queries["streaming_dedup_exact"] = streaming_dedup_exact
     oracles["streaming_dedup_exact"] = TEXT_QUERIES["dedup_exact"](DUCK)
 
+    # stateful streaming MinHash-LSH near-dup candidates (round 7): per-
+    # (band, band_key) bucket membership folded as keep-smallest-BAND_CAP
+    # — converges to the batch dedup_minhash_lsh answer at any micro-batch
+    # split (same oracle)
+    from .streaming.dedup_minhash import streaming_dedup_minhash
+
+    queries["streaming_dedup_minhash"] = streaming_dedup_minhash
+    oracles["streaming_dedup_minhash"] = TEXT_QUERIES["dedup_minhash_lsh"](DUCK)
+
     # stateful streaming sessionization with EVENT-TIME TIMEOUT eviction:
     # converges to the batch events_sessionize answer (same oracle)
     from .operators.relational import SESSIONIZE_SQL
