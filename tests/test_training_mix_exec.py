@@ -1,0 +1,82 @@
+"""Round-8: the materialized/kernel execution of the trained-Lloyd-chain
+queries must equal the two-dialect template (the oracle text) row for
+row, the numpy assignment kernel must equal a brute-force integer
+reference, and the returned plans must stay scan-free (everything reads
+the materialized intermediates — the CTE-inlining blowup this rewrite
+removed recomputed the embeddings scan 96/142 times)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_DIR
+from usls_doc_spark.kernels.lloyd import assign_cells, partial_cluster_sums
+from usls_doc_spark.operators.text_queries import render_spark
+from usls_doc_spark.operators.training_mix_exec import (
+    dedup_semantic_cells_exec,
+    kmeans_ivf_build_exec,
+)
+
+SF_DIR2 = "/root/testdata/sf0.01"
+
+
+def test_assign_cells_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    Q = rng.integers(-1_000_000, 1_000_000, size=(257, 64), dtype=np.int64)
+    C = rng.integers(-1_000_000, 1_000_000, size=(5, 64), dtype=np.int64)
+    cids = np.array([0, 2, 3, 5, 7], dtype=np.int64)
+    K = 8
+    got = assign_cells(Q, C, cids, K)
+    enc = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2) * K + cids[None, :]
+    want = enc.min(axis=1) % K
+    assert (got == want).all()
+
+
+def test_partial_cluster_sums_matches_bruteforce():
+    rng = np.random.default_rng(11)
+    Q = rng.integers(-1_000_000, 1_000_000, size=(100, 64), dtype=np.int64)
+    cells = rng.integers(0, 8, size=100, dtype=np.int64)
+    n, S = partial_cluster_sums(Q, cells, 8)
+    for c in range(8):
+        m = cells == c
+        assert n[c] == m.sum()
+        assert (S[c] == Q[m].sum(axis=0)).all() if m.any() else (S[c] == 0).all()
+
+
+@pytest.mark.parametrize("sf", [SF_DIR, SF_DIR2])
+@pytest.mark.parametrize(
+    "name,fn",
+    [
+        ("kmeans_ivf_build", kmeans_ivf_build_exec),
+        ("dedup_semantic_cells", dedup_semantic_cells_exec),
+    ],
+)
+def test_exec_equals_template(spark, sf, name, fn):
+    from usls_doc_spark.queries import _register_views
+
+    _register_views(spark, sf)
+    want = sorted(tuple(r) for r in spark.sql(render_spark(name)).collect())
+    got_df = fn(spark, sf)
+    got = sorted(tuple(r) for r in got_df.collect())
+    assert got == want
+    assert got_df.columns == spark.sql(render_spark(name)).columns
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_exec_final_plans_scan_free(spark):
+    """The returned DataFrames read ONLY materialized intermediates: no
+    parquet scan may remain in the final plan (the before-state had 96
+    and 142 of them), and the ivf top-3 rank must keep the
+    WindowGroupLimit pushdown."""
+    ivf = kmeans_ivf_build_exec(spark, SF_DIR)
+    p = _plan(ivf)
+    assert "Scan parquet" not in p
+    assert "WindowGroupLimit" in p
+    sem = dedup_semantic_cells_exec(spark, SF_DIR)
+    p2 = _plan(sem)
+    assert "Scan parquet" not in p2
+    # pair join: the bounded capped side broadcasts; no cartesian product
+    assert "BroadcastHashJoin" in p2
+    assert "CartesianProduct" not in p2

@@ -407,6 +407,21 @@ def build_registry() -> tuple[dict, dict]:
     queries["export_roundtrip"] = export_roundtrip
     oracles["export_roundtrip"] = export_roundtrip_oracle()
 
+    # trained-Lloyd-chain queries (round 8): the Spark side runs the
+    # materialized iterative execution (operators/training_mix_exec.py —
+    # ONE embeddings scan instead of the 96/142 scans Spark's CTE
+    # inlining made of the unrolled template); the oracle is the
+    # unchanged single-statement template text
+    from .operators.training_mix_exec import (
+        dedup_semantic_cells_exec,
+        kmeans_ivf_build_exec,
+    )
+
+    queries["kmeans_ivf_build"] = kmeans_ivf_build_exec
+    oracles["kmeans_ivf_build"] = TEXT_QUERIES["kmeans_ivf_build"](DUCK)
+    queries["dedup_semantic_cells"] = dedup_semantic_cells_exec
+    oracles["dedup_semantic_cells"] = TEXT_QUERIES["dedup_semantic_cells"](DUCK)
+
     # char-k-gram dedup (round 7): Spark side runs the O(n) Rabin-Karp
     # kernel through mapInPandas (Spark's interpreted HOF fold is minutes
     # at sf0.1); the oracle is the unchanged SQL-fold template
