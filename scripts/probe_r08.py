@@ -125,9 +125,8 @@ def main() -> None:
                 "numInputRows": p.get("numInputRows"),
                 "durationMs": p.get("durationMs"),
             }
-            for p in (json.loads(x) for x in
-                      (p.json() if hasattr(p, "json") else json.dumps(p)
-                       for p in q.recentProgress))
+            for p in (x if isinstance(x, dict) else json.loads(x)
+                      for x in q.recentProgress)
         ]
         q.stop()
         print(json.dumps({"probe": "events_window_phases",

@@ -144,15 +144,20 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     any future multi-file source violating it into a loud failure."""
     import atexit
 
+    from .tuning import scaled_state_partitions, stream_shuffle_partitions
+
     sink_dir = tempfile.mkdtemp(prefix="usls_stream_attr_")
     shutil.rmtree(sink_dir, ignore_errors=True)
     atexit.register(shutil.rmtree, sink_dir, ignore_errors=True)
-    q = start_attribution_stream(spark, sf_dir, sink_dir)
-    try:
-        q.processAllAvailable()
-        dropped = dropped_by_watermark(q)
-    finally:
-        q.stop()
+    with stream_shuffle_partitions(
+        spark, scaled_state_partitions(spark, f"{sf_dir}/events.parquet")
+    ):
+        q = start_attribution_stream(spark, sf_dir, sink_dir)
+        try:
+            q.processAllAvailable()
+            dropped = dropped_by_watermark(q)
+        finally:
+            q.stop()
     if dropped:
         raise RuntimeError(
             f"{dropped} late rows dropped by watermark — input files arrived "
@@ -181,27 +186,21 @@ def write_watermark_sentinels(spark: SparkSession, events_dir: str,
     APPLIED, evicting closed view state and emitting the unmatched-view
     NULL rows. Without wave 2 the emission would depend on Spark's
     optional no-data micro-batch racing processAllAvailable."""
-    import os
     from datetime import timedelta
 
-    stage = tempfile.mkdtemp(prefix="usls_sentinel_stage_")
-    try:
-        for i, hours in enumerate(waves):
-            ts = max_ts + timedelta(hours=hours)
-            rows = [
-                (-(2 * i + 1), ts, SENTINEL_USER, "view", 0.0, ""),
-                (-(2 * i + 2), ts, SENTINEL_USER, "purchase", 0.0, ""),
-            ]
-            sdir = f"{stage}/w{i}"
-            spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(sdir)
-            part = next(
-                p for p in os.listdir(sdir) if p.startswith("part-") and p.endswith(".parquet")
-            )
-            dest = f"{events_dir}/sentinel{i}.parquet"
-            shutil.move(f"{sdir}/{part}", dest)
-            os.utime(dest, (mtime_base + i + 1, mtime_base + i + 1))
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+    from .sentinel import write_events_file
+
+    # driver-side pyarrow writes (round 8): a Spark write job per 2-row
+    # wave measured ~5 s of pure overhead — see streaming/sentinel.py
+    for i, hours in enumerate(waves):
+        ts = max_ts + timedelta(hours=hours)
+        rows = [
+            (-(2 * i + 1), ts, SENTINEL_USER, "view", 0.0, ""),
+            (-(2 * i + 2), ts, SENTINEL_USER, "purchase", 0.0, ""),
+        ]
+        write_events_file(
+            f"{events_dir}/sentinel{i}.parquet", rows, mtime_base + i + 1
+        )
 
 
 def streaming_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,25 +241,37 @@ def _drained_outer(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="usls_stream_attr_outer_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
+    from .sentinel import events_max_ts
+
     events_dir = f"{work}/in"
     os.makedirs(events_dir)
     shutil.copy(f"{sf_dir}/events.parquet", f"{events_dir}/batch0.parquet")
     os.utime(f"{events_dir}/batch0.parquet", (2_000_000_000, 2_000_000_000))
-    max_ts = (
-        spark.read.parquet(f"{sf_dir}/events.parquet").agg(F.max("ts")).collect()[0][0]
-    )
+    max_ts = events_max_ts(f"{sf_dir}/events.parquet")
     write_watermark_sentinels(spark, events_dir, max_ts)
 
     sink_dir = f"{work}/sink"
-    q = start_attribution_stream(
-        spark, events_dir, sink_dir, _QUERY_NAME + "_" + how.lower(),
-        max_files=1, glob="*.parquet", how=how,
-    )
-    try:
-        q.processAllAvailable()
-        dropped = dropped_by_watermark(q)
-    finally:
-        q.stop()
+    # maxFilesPerTrigger=2 packs [data, wave1] into micro-batch 1 (mtime
+    # order) and leaves wave2 as micro-batch 2: wave 1 raises the global
+    # watermark computed at batch 1's end past every real row's close
+    # point, wave 2's batch applies it (emitting the unmatched NULL rows
+    # and evicting state) — one fewer state round than one-file-per-
+    # trigger, same emitted rows; nothing is late in batch 1 because the
+    # watermark during it is still the initial one (asserted below).
+    from .tuning import scaled_state_partitions, stream_shuffle_partitions
+
+    with stream_shuffle_partitions(
+        spark, scaled_state_partitions(spark, f"{sf_dir}/events.parquet")
+    ):
+        q = start_attribution_stream(
+            spark, events_dir, sink_dir, _QUERY_NAME + "_" + how.lower(),
+            max_files=2, glob="*.parquet", how=how,
+        )
+        try:
+            q.processAllAvailable()
+            dropped = dropped_by_watermark(q)
+        finally:
+            q.stop()
     if dropped:
         raise RuntimeError(
             f"{dropped} late rows dropped by watermark — sentinel protocol broken"

@@ -94,23 +94,18 @@ def write_window_sentinels(spark: SparkSession, events_dir: str,
     data. Waves (8, 12): the largest window containing max_ts ends at
     most max_ts + 6h (tumbling and hopping alike), so wave 1's watermark
     of max_ts + 7h strictly exceeds every real window end; wave 2 forces
-    the batch that applies it (see module docstring)."""
-    stage = tempfile.mkdtemp(prefix="usls_winsent_stage_")
-    try:
-        for i, hours in enumerate(waves):
-            ts = max_ts + timedelta(hours=hours)
-            rows = [(-(i + 1), ts, -1, SENTINEL_EVENT_TYPE, 0.0, "")]
-            sdir = f"{stage}/w{i}"
-            spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(sdir)
-            part = next(
-                p for p in os.listdir(sdir)
-                if p.startswith("part-") and p.endswith(".parquet")
-            )
-            dest = f"{events_dir}/sentinel{i}.parquet"
-            shutil.move(f"{sdir}/{part}", dest)
-            os.utime(dest, (mtime_base + i + 1, mtime_base + i + 1))
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+    the batch that applies it (see module docstring). Files are written
+    driver-side via pyarrow (round 8 — a Spark write job per 1-row wave
+    measured ~5 s of pure overhead; see streaming/sentinel.py)."""
+    from .sentinel import write_events_file
+
+    for i, hours in enumerate(waves):
+        ts = max_ts + timedelta(hours=hours)
+        write_events_file(
+            f"{events_dir}/sentinel{i}.parquet",
+            [(-(i + 1), ts, -1, SENTINEL_EVENT_TYPE, 0.0, "")],
+            mtime_base + i + 1,
+        )
 
 
 def start_window_stream(spark: SparkSession, events_dir: str, sink_dir: str,
@@ -165,28 +160,40 @@ def start_window_stream(spark: SparkSession, events_dir: str, sink_dir: str,
 
 def _drained_window_agg(spark: SparkSession, sf_dir: str, query_name: str,
                         slide: str | None) -> DataFrame:
+    from .sentinel import events_max_ts
+
     work = tempfile.mkdtemp(prefix="usls_stream_events_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     events_dir = f"{work}/in"
     os.makedirs(events_dir)
     shutil.copy(f"{sf_dir}/events.parquet", f"{events_dir}/batch0.parquet")
     os.utime(f"{events_dir}/batch0.parquet", (2_000_000_000, 2_000_000_000))
-    max_ts = (
-        spark.read.parquet(f"{sf_dir}/events.parquet").agg(F.max("ts")).collect()[0][0]
-    )
+    max_ts = events_max_ts(f"{sf_dir}/events.parquet")
     write_window_sentinels(spark, events_dir, max_ts)
 
     sink_dir = f"{work}/sink"
-    q = start_window_stream(
-        spark, events_dir, sink_dir, query_name, slide=slide,
-        max_files=1, glob="*.parquet",
-    )
-    try:
-        q.processAllAvailable()
-        dropped = dropped_by_watermark(q)
-        removed = state_rows_removed(q)
-    finally:
-        q.stop()
+    # maxFilesPerTrigger=2 packs [data, wave1] into micro-batch 1 and
+    # leaves wave2 as micro-batch 2 (mtime order): wave 1's far-future
+    # event raises the watermark computed at batch 1's END, wave 2's
+    # batch APPLIES it — one fewer state-store round than the r7
+    # one-file-per-trigger protocol, same emitted rows, and nothing is
+    # late in batch 1 because the watermark during it is still the
+    # initial one (dropped_by_watermark == 0 still asserted).
+    from .tuning import scaled_state_partitions, stream_shuffle_partitions
+
+    with stream_shuffle_partitions(
+        spark, scaled_state_partitions(spark, f"{sf_dir}/events.parquet")
+    ):
+        q = start_window_stream(
+            spark, events_dir, sink_dir, query_name, slide=slide,
+            max_files=2, glob="*.parquet",
+        )
+        try:
+            q.processAllAvailable()
+            dropped = dropped_by_watermark(q)
+            removed = state_rows_removed(q)
+        finally:
+            q.stop()
     if dropped:
         raise RuntimeError(
             f"{dropped} late rows dropped by watermark — sentinel protocol broken"

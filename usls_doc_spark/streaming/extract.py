@@ -23,12 +23,18 @@ from ..pipeline.extract import extract_batch, EXTRACT_SCHEMA
 
 
 def streaming_extract_text(spark: SparkSession, sf_dir: str):
-    """Registry entry: stage the synthesized pages as TWO parquet files
-    (so the stream takes two micro-batches), run the streaming extraction
-    to completion, and return (url, extracted_text) — the oracle is the
-    SAME byte-identical invariant as the batch extract_text
-    ('Doc {id} ' + text), so the hash certifies the streaming path
-    end-to-end including the exactly-once file sink."""
+    """Registry entry: stage the synthesized pages as parquet files, run
+    the streaming extraction to completion over TWO micro-batches, and
+    return (url, extracted_text) — the oracle is the SAME byte-identical
+    invariant as the batch extract_text ('Doc {id} ' + text), so the
+    hash certifies the streaming path end-to-end including the
+    exactly-once file sink.
+
+    Round 8: the pages are staged as 2 x 16 files with
+    maxFilesPerTrigger=16 — the same two-micro-batch structure as the
+    r7 two-file/one-per-trigger layout, but each batch's mapInPandas
+    extraction now runs 16 tasks instead of ONE (a single parquet file
+    is one split, so the whole batch's kernel work ran on one core)."""
     import atexit
     import shutil
     import tempfile
@@ -40,9 +46,11 @@ def streaming_extract_text(spark: SparkSession, sf_dir: str):
     root = tempfile.mkdtemp(prefix="usls_stream_extract_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     pages_dir, out_dir, cp_dir = (f"{root}/{d}" for d in ("pages", "out", "cp"))
-    pages_from_documents(spark, sf_dir).repartition(2).write.parquet(pages_dir)
+    # n_partitions=32 renders the pages 32-way parallel AND lands one
+    # parquet file per partition — no post-render shuffle of the html
+    pages_from_documents(spark, sf_dir, n_partitions=32).write.parquet(pages_dir)
     q = start_streaming_extraction(
-        spark, pages_dir, out_dir, cp_dir, max_files_per_trigger=1
+        spark, pages_dir, out_dir, cp_dir, max_files_per_trigger=16
     )
     try:
         q.processAllAvailable()

@@ -189,15 +189,20 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_streaming_sessionize.py)."""
     import atexit
 
+    from .tuning import scaled_state_partitions, stream_shuffle_partitions
+
     sink_dir = tempfile.mkdtemp(prefix="usls_stream_sess_")
     shutil.rmtree(sink_dir, ignore_errors=True)
     atexit.register(shutil.rmtree, sink_dir, ignore_errors=True)
-    q = start_streaming_sessionize(spark, sf_dir, sink_dir)
-    try:
-        q.processAllAvailable()
-        dropped = dropped_by_watermark(q)
-    finally:
-        q.stop()
+    with stream_shuffle_partitions(
+        spark, scaled_state_partitions(spark, f"{sf_dir}/events.parquet")
+    ):
+        q = start_streaming_sessionize(spark, sf_dir, sink_dir)
+        try:
+            q.processAllAvailable()
+            dropped = dropped_by_watermark(q)
+        finally:
+            q.stop()
     if dropped:
         raise RuntimeError(
             f"{dropped} late rows dropped by watermark — input files arrived "
