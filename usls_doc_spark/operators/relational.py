@@ -18,7 +18,16 @@ Q3_DATE = "1998-03-15 00:00:00"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Round 8: cache the immutable DataFrame handle per (session, sf_dir)
+    # — spark.read.parquet is a driver-side schema read (~80 ms) paid per
+    # query construction otherwise; executions still scan the parquet.
+    cache = getattr(spark, "_usls_rel_dfs", None)
+    if cache is None or cache[0] != sf_dir:
+        cache = (sf_dir, {})
+        spark._usls_rel_dfs = cache
+    if name not in cache[1]:
+        cache[1][name] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return cache[1][name]
 
 
 def _dec(col, prec=14, scale=2):

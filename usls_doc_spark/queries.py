@@ -38,8 +38,22 @@ def _register_views(spark: SparkSession, sf_dir: str) -> None:
     # oversized (e.g. the 200 default) — harmless if already enabled
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    for t in TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    # Round 8: spark.read.parquet is a driver-side schema/footer read per
+    # table (~0.9 s for the 10 tables, paid by EVERY templated query —
+    # ~50 s across the bench). The immutable DataFrame handles are cached
+    # per (session, sf_dir); the VIEWS are still re-registered on every
+    # call, so a caller (tests) that overrode a view with synthetic data
+    # gets it re-pointed at the parquet table exactly as before, and
+    # every execution still reads the parquet inputs from disk.
+    cached = getattr(spark, "_usls_table_dfs", None)
+    if cached is None or cached[0] != sf_dir:
+        cached = (
+            sf_dir,
+            {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES},
+        )
+        spark._usls_table_dfs = cached
+    for t, df in cached[1].items():
+        df.createOrReplaceTempView(t)
 
 
 # --------------------------------------------------------------------------
