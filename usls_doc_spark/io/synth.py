@@ -233,8 +233,24 @@ def pages_from_documents(spark, sf_dir: str, copies: int = 1, n_partitions: int 
         ).select(
             (F.col("doc_id") + F.col("c") * F.lit(10_000_000)).alias("doc_id"), "text", "lang"
         )
-    # default 8 waves per core: the skew population (doc_id%47, ~80x median
-    # html weight) makes coarse partitions straggle — finer tasks keep
-    # end-of-stage idle tails short (measured in scripts/bench_scaling.py)
-    nparts = n_partitions or spark.sparkContext.defaultParallelism * 8
+    # Adaptive default (round 8, guide §2.2): the old fixed 8-waves-per-
+    # core default (256 tasks on local[32]) cost ~1.4 s of pure task
+    # overhead on a 5000-doc table (render 1.85 s at 256 partitions vs
+    # 0.45 s at 32 — measured). Derive the count from input size with a
+    # floor of 2 waves per core (the skew population — doc_id%47, ~80x
+    # median html weight — still amortizes across waves) and the old 8x
+    # as the ceiling for big inputs; bench-scale callers (bench.py)
+    # still pass n_partitions explicitly.
+    if n_partitions:
+        nparts = n_partitions
+    else:
+        import math
+        import os
+
+        par = spark.sparkContext.defaultParallelism
+        try:
+            size = os.path.getsize(f"{sf_dir}/documents.parquet") * max(copies, 1)
+        except OSError:
+            size = 0
+        nparts = min(par * 8, max(par * 2, math.ceil(size / (32 * 1024))))
     return docs.repartition(nparts, "doc_id").mapInPandas(_synth_batch, schema=PAGES_SCHEMA)

@@ -22,7 +22,7 @@ kept set.
 
 from __future__ import annotations
 
-from .dialect import Dialect
+from .dialect import SPARK, Dialect
 
 # ---------------------------------------------------------------------------
 # URL canonicalization + URL-level dedup
@@ -1184,6 +1184,68 @@ matched AS (
 SELECT doc_id, path, rule_prefix, allowed
 FROM matched
 """
+
+
+def cms_heavy_hitters_exec(spark, sf_dir: str):
+    """Round-8 Spark-side execution of cms_heavy_hitters (the DuckDB
+    oracle stays the q_cms_heavy_hitters template text). Spark inlines
+    the template's twice-referenced `tokens` CTE, recomputing the
+    2M-bigram explode + per-occurrence md5 for both the sketch and the
+    exact-count paths. Here the exact per-gram counts are aggregated
+    FIRST — md5 runs once per DISTINCT gram after the agg, not per
+    occurrence — and the ~vocab-sized result is materialized
+    (localCheckpoint); sketch, head, probe and est then all read the
+    materialized table. The sketch's counter values are identical:
+    every occurrence of a gram lands on the same (r, idx), so
+    SUM(exact_cnt) == the per-occurrence COUNT(*). Measured 2.9 ->
+    2.0 s at sf0.1; output equal to the template at both small SFs
+    (tests/test_cms_sketch.py)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ..queries import _register_views
+
+    d = SPARK
+    _register_views(spark, sf_dir)
+    D_, W_, K_ = CMS_DEPTH, CMS_WIDTH, CMS_TOP_K
+    w = d.split("text")
+    grams = d.shingles("ws", 2)
+    idx_tok = f"({d.hex32_to_bigint('substr(h, 1 + 8 * ki, 8)')} % {W_})"
+    exact = spark.sql(f"""
+SELECT gram, {d.md5("gram")} AS h, CAST(count(*) AS BIGINT) AS exact_cnt
+FROM (
+  SELECT gs FROM (
+    SELECT {grams} AS gs FROM (SELECT {w} AS ws FROM documents)
+    WHERE {d.array_len("ws")} >= 2
+  )
+) {d.explode("gs", "gram")}
+GROUP BY gram
+""").localCheckpoint()
+    exact.createOrReplaceTempView("_cms_exact_mat")
+    return spark.sql(f"""
+WITH sketch AS (
+  SELECT ki AS r, {idx_tok} AS idx, CAST(SUM(exact_cnt) AS BIGINT) AS c
+  FROM _cms_exact_mat {d.explode(d.seq("0", str(D_ - 1)), "ki")}
+  GROUP BY ki, {idx_tok}
+),
+head AS (
+  SELECT gram, h, exact_cnt FROM _cms_exact_mat
+  ORDER BY exact_cnt DESC, gram
+  LIMIT {K_}
+),
+probe AS (
+  SELECT gram, exact_cnt, ki AS r, {idx_tok} AS idx
+  FROM head {d.explode(d.seq("0", str(D_ - 1)), "ki")}
+),
+est AS (
+  SELECT p.gram, p.exact_cnt, min(s.c) AS cms_est
+  FROM probe p JOIN sketch s ON p.r = s.r AND p.idx = s.idx
+  GROUP BY p.gram, p.exact_cnt
+)
+SELECT gram, exact_cnt, cms_est,
+       cms_est - exact_cnt AS overestimate,
+       CAST(row_number() OVER (ORDER BY exact_cnt DESC, gram) AS BIGINT) AS rnk
+FROM est
+""")
 
 
 WEB_QUERIES = {

@@ -413,6 +413,13 @@ def build_registry() -> tuple[dict, dict]:
         queries[name] = _sql_query(name)
         oracles[name] = TEXT_QUERIES[name](DUCK)
 
+    # round 8: Spark-side materialized execution for the CMS audit query
+    # (the template's twice-referenced tokens CTE re-ran the 2M-bigram
+    # md5 explode; oracle text unchanged)
+    from .operators.web_curation import cms_heavy_hitters_exec
+
+    queries["cms_heavy_hitters"] = cms_heavy_hitters_exec
+
     # packed-shard export round-trip (round 7): terminal sink -> custom
     # Python DataSource (manifest-planned, per-shard sha256-verified) ->
     # full row set == the split_and_pack assignment + text, proven in SQL
