@@ -195,6 +195,11 @@ def test_rollhash_kernel_equals_fold_reference():
     for t_i, t in enumerate(texts):
         assert w[di == t_i].tolist() == fold_ref(t, CHAR_KGRAM), t_i
 
+    # r7 ADVICE: a batch of ONLY empty texts once crashed (IndexError on
+    # the empty prefix array); the SQL fold yields one hash-0 window each
+    di0, w0 = window_hashes_batched(["", ""], CHAR_KGRAM)
+    assert di0.tolist() == [0, 1] and w0.tolist() == [0, 0]
+
 
 def test_dup_char_kernel_callable_equals_spark_sql_template(spark):
     """The registry's kernel-backed callable must equal the Spark-dialect

@@ -95,6 +95,11 @@ def window_hashes_batched(
     woffs = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(n_win, out=woffs[1:])
     doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_win)
+    if total == 0:
+        # every document empty (r7 ADVICE): one hash-0 window per doc —
+        # the SQL fold's semantics; the gather below would index into
+        # the zero-length T array otherwise
+        return doc_idx, np.zeros(total_w, dtype=np.int64)
     i_local = (
         np.arange(1, total_w + 1, dtype=np.int64)
         - np.repeat(woffs[:-1], n_win)

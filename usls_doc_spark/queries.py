@@ -217,64 +217,66 @@ def _sim_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # driver checks queries in registration order and has truncated at exactly
 # 50 rows). Round 6 replaces the hand-wired head/tail split with a
 # deterministic LEAST-CERTIFIED-FIRST sort: _GREEN_ROWS records each
-# query's green driver-row count through CORRECTNESS_r06 (updated round 7
-# per r6 VERDICT item 3 — exact per-round histories in the committed
-# CORRECTNESS_r0N.json files; counts here are GREEN rows, so
-# host_graph_pagerank's r5 red row does not count and multimodal_features /
-# ocr_regions_detail exclude their r1 reds), new queries default to 0 and
-# therefore register right after the pins, and ties keep construction
-# order. A 50-row driver cap then always lands on the most-certified
-# residue — never a novel path — with no per-round hand curation.
+# query's green driver-row count through CORRECTNESS_r07 (updated round 8
+# per r7 VERDICT item 4 — all 50 r7 head rows came back green, +1 each;
+# exact per-round histories in the committed CORRECTNESS_r0N.json files;
+# counts here are GREEN rows, so host_graph_pagerank's r5 red row does
+# not count and multimodal_features / ocr_regions_detail exclude their r1
+# reds), new queries default to 0 and therefore register right after the
+# pins, and ties keep construction order. A 50-row driver cap then always
+# lands on the most-certified residue — never a novel path — with no
+# per-round hand curation.
 _GREEN_ROWS = {
-    # 6 green rows (r1-r6)
-    "extract_text": 6,
+    # 7 green rows (r1-r7)
+    "extract_text": 7,
     # 5 green rows
     "extract_block_hist": 5, "extract_metrics": 5, "ocr_spans": 5,
-    # 4 green rows
+    # 4 green rows (the r7 head's re-certified members joined this band)
     "ann_ivf_probe": 4, "ann_lsh_buckets": 4, "ann_topk_cosine": 4,
     "asof_join_purchases": 4, "corpus_curation": 4,
     "customers_without_orders": 4, "decontaminate_ngram_overlap": 4,
-    "dedup_components": 4, "dedup_embedding_cosine": 4,
+    "dedup_components": 4, "dedup_embedding_cosine": 4, "dedup_exact": 4,
     "dedup_minhash_lsh": 4, "dedup_ngram_jaccard": 4, "events_pivot": 4,
     "events_rollup": 4, "events_sessionize": 4,
-    "events_tumbling_window": 4, "host_cap_sample": 4, "lang_word_rank": 4,
+    "events_tumbling_window": 4, "fingerprint_rolling_hash": 4,
+    "fingerprint_simhash": 4, "host_cap_sample": 4, "inverted_index": 4,
+    "lang_detect_stopwords": 4, "lang_word_rank": 4,
     "layout_instances": 4, "lsh_recall": 4, "multimodal_features": 4,
     "ocr_regions_detail": 4, "orders_running_total": 4,
-    "q17_small_quantity": 4, "q1_pricing_summary": 4, "q3_top_orders": 4,
-    "q4_priority_semi": 4, "q5_region_revenue": 4,
-    "raster_extract_text": 4, "raster_layout_blocks": 4,
-    "raster_ocr_regions": 4, "raster_ocr_spans": 4, "repetition_filter": 4,
-    "split_and_pack": 4, "streaming_dedup_exact": 4,
-    "streaming_events_window": 4, "table_cells": 4,
+    "paragraph_dedup": 4, "q17_small_quantity": 4, "q1_pricing_summary": 4,
+    "q3_top_orders": 4, "q4_priority_semi": 4, "q5_region_revenue": 4,
+    "quality_score": 4, "raster_extract_text": 4,
+    "raster_layout_blocks": 4, "raster_ocr_regions": 4,
+    "raster_ocr_spans": 4, "repetition_filter": 4, "split_and_pack": 4,
+    "stratified_sample": 4, "streaming_click_attribution": 4,
+    "streaming_dedup_exact": 4, "streaming_events_window": 4,
+    "streaming_extract_text": 4, "table_cells": 4, "text_stats": 4,
+    "tfidf_top_terms": 4, "token_count_bpe": 4,
     "top_customers_per_segment": 4, "trocr_transcripts": 4,
-    # 3 green rows (dedup_exact / fingerprint_* / lang_* / q6 /
-    # quality_score / text_stats / token_count_bpe last driver-checked r3 —
-    # the stalest members; the computed order puts them inside the next
-    # head-50 so certification keeps rotating)
-    "dedup_exact": 3, "dedup_incremental": 3,
-    "fingerprint_rolling_hash": 3, "fingerprint_simhash": 3,
-    "inverted_index": 3, "lang_detect_stopwords": 3, "lang_setops": 3,
-    "paragraph_dedup": 3, "q6_revenue_delta": 3,
-    "quality_ngram_familiarity": 3, "quality_score": 3,
-    "stratified_sample": 3, "streaming_click_attribution": 3,
-    "streaming_extract_text": 3, "text_stats": 3, "tfidf_top_terms": 3,
-    "token_count_bpe": 3, "url_canonicalize": 3,
-    # 2 green rows (round-5 additions, re-certified r6)
-    "bloom_dedup_probe": 2, "cdc_upsert_compact": 2,
-    "cms_heavy_hitters": 2, "cohort_retention": 2, "dedup_simhash": 2,
-    "dup_window_fraction": 2, "funnel_conversion": 2,
-    "hll_distinct_chunks": 2, "line_freq_filter": 2,
-    "multimodal_frame_sample": 2, "ngram_counts": 2, "pii_redact": 2,
-    "priority_sample_weighted": 2, "streaming_click_attribution_full": 2,
-    "streaming_click_attribution_outer": 2, "streaming_cms_sketch": 2,
-    "streaming_enrich_events": 2, "streaming_sessionize": 2,
-    "token_quantiles": 2, "url_canonicalize_agg": 2, "zorder_cluster": 2,
-    # 1 green row (the round-6 additions; host_graph_pagerank's r5 red
-    # row does not count — its r6 head row is its first green)
-    "anchor_text_agg": 1, "bpe_merge_step": 1, "domain_mix_weights": 1,
-    "events_hopping_window": 1, "host_graph_pagerank": 1,
-    "kmeans_lloyd_step": 1, "robots_policy_filter": 1,
-    "streaming_events_hopping": 1,
+    "url_canonicalize": 4,
+    # 3 green rows (last driver-checked r5/r7 mixes; the computed order
+    # puts the stalest of these inside the next head-50 so certification
+    # keeps rotating)
+    "bloom_dedup_probe": 3, "cdc_upsert_compact": 3,
+    "cms_heavy_hitters": 3, "cohort_retention": 3, "dedup_incremental": 3,
+    "dedup_simhash": 3, "dup_window_fraction": 3, "funnel_conversion": 3,
+    "hll_distinct_chunks": 3, "lang_setops": 3, "line_freq_filter": 3,
+    "multimodal_frame_sample": 3, "ngram_counts": 3, "pii_redact": 3,
+    "priority_sample_weighted": 3, "q6_revenue_delta": 3,
+    "quality_ngram_familiarity": 3,
+    "streaming_click_attribution_full": 3,
+    "streaming_click_attribution_outer": 3, "streaming_cms_sketch": 3,
+    "streaming_enrich_events": 3, "streaming_sessionize": 3,
+    "token_quantiles": 3, "url_canonicalize_agg": 3, "zorder_cluster": 3,
+    # 2 green rows (the round-6 additions, re-certified r7)
+    "anchor_text_agg": 2, "bpe_merge_step": 2, "domain_mix_weights": 2,
+    "events_hopping_window": 2, "host_graph_pagerank": 2,
+    "kmeans_lloyd_step": 2, "robots_policy_filter": 2,
+    "streaming_events_hopping": 2,
+    # 1 green row (the round-7 additions, certified r7)
+    "dedup_semantic_cells": 1, "dup_char_kgram_fraction": 1,
+    "export_roundtrip": 1, "kmeans_ivf_build": 1, "lm_bigram_fluency": 1,
+    "streaming_dedup_minhash": 1,
 }
 
 # Pinned to the very front regardless of count: the flagship (driver smoke

@@ -209,14 +209,16 @@ def _maybe_seen_expr(bloom_words: list[int]) -> str:
     arr = "array(" + ", ".join(f"{w}L" for w in bloom_words) + ")"
     checks = []
     for ki in range(BLOOM_K):
+        # direct interpolation (r7 ADVICE: the old post-hoc
+        # .replace('pos{ki}', ...) on formatted SQL was silently fragile)
         pos = (
             f"(CAST(conv(substr(dup_key, {1 + 8 * ki}, 8), 16, 10) AS BIGINT)"
             f" % {BLOOM_BITS})"
         )
         checks.append(
-            f"((element_at({arr}, CAST(pos{ki} DIV {BLOOM_WORD_BITS} AS INT) + 1)"
-            f" & shiftleft(CAST(1 AS BIGINT), CAST(pos{ki} % {BLOOM_WORD_BITS} AS INT)))"
-            f" <> 0)".replace(f"pos{ki}", pos)
+            f"((element_at({arr}, CAST({pos} DIV {BLOOM_WORD_BITS} AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST({pos} % {BLOOM_WORD_BITS} AS INT)))"
+            f" <> 0)"
         )
     return "CASE WHEN " + " AND ".join(checks) + " THEN 1 ELSE 0 END"
 
