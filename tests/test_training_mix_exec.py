@@ -80,3 +80,23 @@ def test_exec_final_plans_scan_free(spark):
     # pair join: the bounded capped side broadcasts; no cartesian product
     assert "BroadcastHashJoin" in p2
     assert "CartesianProduct" not in p2
+
+
+def test_text_exec_equals_templates(spark):
+    """Round-8 materialized executions registered for template queries
+    must equal the template rendering row-for-row (the oracle text is
+    the template; the registry runs the exec)."""
+    from usls_doc_spark.operators.text_exec import lm_bigram_fluency_exec
+    from usls_doc_spark.operators.web_curation import cms_heavy_hitters_exec
+    from usls_doc_spark.queries import _register_views
+
+    for sf in (SF_DIR, SF_DIR2):
+        _register_views(spark, sf)
+        for name, fn in (
+            ("lm_bigram_fluency", lm_bigram_fluency_exec),
+            ("cms_heavy_hitters", cms_heavy_hitters_exec),
+        ):
+            want = sorted(tuple(r) for r in
+                          spark.sql(render_spark(name)).collect())
+            got = sorted(tuple(r) for r in fn(spark, sf).collect())
+            assert got == want, name

@@ -1,0 +1,104 @@
+"""Spark-side materialized executions for multi-referenced-CTE text
+templates (round 8). Same contract as training_mix_exec / the CMS exec:
+the two-dialect template text stays the DuckDB oracle verbatim; the
+registry's Spark callable computes IDENTICAL values through materialized
+intermediates, because Spark inlines every CTE reference and re-runs the
+shared subtree per reference (guide §2.4 — remove recomputation, don't
+tune it).
+
+lm_bigram_fluency: the rendered template's executed plan held 12 parquet
+scans of `documents` (plans/r08/lm_bigram_fluency_before.txt) — `docs`
+feeds big/vocab/oov, `big` feeds c2/c1/scored, `vocab` feeds vsz/oov,
+each reference re-running the word-split + explode. Here:
+
+  * the train-half bigram counts c2 are aggregated in ONE pass and
+    materialized (bounded by distinct train bigrams),
+  * the context counts c1 are DERIVED from c2 — c1(w1) is the number of
+    train bigram occurrences led by w1, i.e. SUM(c2) GROUP BY w1, exact
+    integer identity, no rescan,
+  * the train vocabulary is materialized in one pass and V = its count
+    rides into the probability expression as a literal (the template's
+    broadcast 1-row CROSS JOIN, collapsed driver-side — one aggregated
+    scalar, the MLlib-style K-row collect discipline),
+  * the final statement scans documents twice more (bigram scoring +
+    per-word OOV join) — 4 scans total, each expression
+    character-identical to the template's fragments (the one IEEE
+    division per bigram is unchanged, so every double matches bitwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .dialect import SPARK
+from .text_queries import LM_PPB
+
+
+def lm_bigram_fluency_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..queries import _register_views
+
+    _register_views(spark, sf_dir)
+    d = SPARK
+    ws = d.split("text")
+    n = d.array_len("ws")
+    # throw-proof under Catalyst CSE (CLAUDE.md) — same as the template's
+    # spark rendering
+    big_body = f"""
+SELECT doc_id, try_element_at(ws, i) AS w1, try_element_at(ws, i + 1) AS w2
+FROM (SELECT doc_id, {ws} AS ws FROM documents) docs
+{d.explode(d.seq("1", f"greatest({n} - 1, 1)"), "i")}
+WHERE {n} >= 2
+"""
+    c2 = spark.sql(
+        f"SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 "
+        f"FROM ({big_body}) b WHERE doc_id % 2 = 0 GROUP BY w1, w2"
+    ).localCheckpoint()
+    c2.createOrReplaceTempView("_lm_c2_mat")
+    vocab = spark.sql(f"""
+SELECT DISTINCT w FROM (
+  SELECT {d.element("ws", "i")} AS w
+  FROM (SELECT doc_id, {ws} AS ws FROM documents) docs
+  {d.explode(d.seq("1", f"greatest({n}, 1)"), "i")}
+  WHERE doc_id % 2 = 0
+) t
+""").localCheckpoint()
+    vocab.createOrReplaceTempView("_lm_vocab_mat")
+    vsz = vocab.count()  # the template's 1-row vsz CROSS JOIN, as a literal
+    p_q = (
+        f"CAST(round(({LM_PPB}.0 * (COALESCE(b2.c2, 0) + 1))"
+        f" / (COALESCE(b1.c1, 0) + {vsz}L)) AS BIGINT)"
+    )
+    return spark.sql(f"""
+WITH big AS ({big_body}),
+scored AS (
+  SELECT g.doc_id, {p_q} AS p_ppb
+  FROM big g
+  LEFT JOIN _lm_c2_mat b2 ON g.w1 = b2.w1 AND g.w2 = b2.w2
+  LEFT JOIN (
+    SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM _lm_c2_mat GROUP BY w1
+  ) b1 ON g.w1 = b1.w1
+),
+oov AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(CASE WHEN vb.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM (
+    SELECT doc_id, {d.element("ws", "i")} AS w
+    FROM (SELECT doc_id, {ws} AS ws FROM documents) docs
+    {d.explode(d.seq("1", f"greatest({n}, 1)"), "i")}
+  ) t LEFT JOIN _lm_vocab_mat vb ON t.w = vb.w
+  GROUP BY t.doc_id
+)
+SELECT o.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       COALESCE(s.avg_prob_ppb, 0) AS avg_prob_ppb,
+       o.n_oov,
+       CAST(o.n_oov AS DOUBLE) / o.n_words AS oov_rate
+FROM oov o
+LEFT JOIN (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST({d.intdiv("sum(p_ppb)", "count(*)")} AS BIGINT) AS avg_prob_ppb
+  FROM scored GROUP BY doc_id
+) s ON o.doc_id = s.doc_id
+""")

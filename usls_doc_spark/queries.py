@@ -422,6 +422,17 @@ def build_registry() -> tuple[dict, dict]:
 
     queries["cms_heavy_hitters"] = cms_heavy_hitters_exec
 
+    # round 8: materialized execution for the bigram-LM scorer (the
+    # template's executed plan held 12 documents scans via CTE inlining;
+    # the exec runs 4 with c1 derived from materialized c2; oracle text
+    # unchanged)
+    from .operators.text_exec import lm_bigram_fluency_exec
+
+    queries["lm_bigram_fluency"] = lm_bigram_fluency_exec
+    # the TEXT_QUERIES loop below skips names already in `queries`, so
+    # the oracle must be registered here explicitly
+    oracles["lm_bigram_fluency"] = TEXT_QUERIES["lm_bigram_fluency"](DUCK)
+
     # packed-shard export round-trip (round 7): terminal sink -> custom
     # Python DataSource (manifest-planned, per-shard sha256-verified) ->
     # full row set == the split_and_pack assignment + text, proven in SQL
