@@ -241,16 +241,27 @@ def pages_from_documents(spark, sf_dir: str, copies: int = 1, n_partitions: int 
     # median html weight — still amortizes across waves) and the old 8x
     # as the ceiling for big inputs; bench-scale callers (bench.py)
     # still pass n_partitions explicitly.
-    if n_partitions:
-        nparts = n_partitions
-    else:
-        import math
-        import os
-
-        par = spark.sparkContext.defaultParallelism
-        try:
-            size = os.path.getsize(f"{sf_dir}/documents.parquet") * max(copies, 1)
-        except OSError:
-            size = 0
-        nparts = min(par * 8, max(par * 2, math.ceil(size / (32 * 1024))))
+    nparts = n_partitions or adaptive_partitions(
+        spark, f"{sf_dir}/documents.parquet", size_mult=max(copies, 1)
+    )
     return docs.repartition(nparts, "doc_id").mapInPandas(_synth_batch, schema=PAGES_SCHEMA)
+
+
+def adaptive_partitions(spark, path: str, floor_waves: int = 2,
+                        cap_waves: int = 8, part_bytes: int = 32 * 1024,
+                        size_mult: int = 1) -> int:
+    """Input-size-derived task count for a kernel crossing (round 8,
+    guide §2.2): ceil(input_bytes / part_bytes) clamped to
+    [floor_waves, cap_waves] waves per core. Fixed waves-per-core
+    constants pay pure scheduling overhead on small inputs and the cap
+    keeps big inputs at the measured skew-amortizing wave count."""
+    import math
+    import os
+
+    par = spark.sparkContext.defaultParallelism
+    try:
+        size = os.path.getsize(path) * size_mult
+    except OSError:
+        return par * cap_waves
+    return min(par * cap_waves,
+               max(par * floor_waves, math.ceil(size / part_bytes)))

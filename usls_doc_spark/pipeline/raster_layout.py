@@ -144,7 +144,9 @@ def _layout_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def raster_layout_blocks(spark, sf_dir: str):
     """documents -> pixel-native layout detections (real L2-L7+L12 path)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    nparts = spark.sparkContext.defaultParallelism * 4
+    from ..io.synth import adaptive_partitions
+    nparts = adaptive_partitions(spark, f"{sf_dir}/documents.parquet",
+                                 floor_waves=1, cap_waves=4)
     return docs.repartition(nparts, "doc_id").mapInPandas(
         _layout_batch, schema=RASTER_LAYOUT_SCHEMA
     )

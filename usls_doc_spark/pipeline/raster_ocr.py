@@ -102,7 +102,9 @@ def raster_ocr_regions(spark, sf_dir: str):
     render + contour trace runs on every core, same shape as
     io/synth.pages_from_documents."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    nparts = spark.sparkContext.defaultParallelism * 4
+    from ..io.synth import adaptive_partitions
+    nparts = adaptive_partitions(spark, f"{sf_dir}/documents.parquet",
+                                 floor_waves=1, cap_waves=4)
     return docs.repartition(nparts, "doc_id").mapInPandas(
         _raster_batch, schema=RASTER_OCR_SCHEMA
     )
@@ -212,7 +214,9 @@ def raster_ocr_spans(spark, sf_dir: str):
     D1-D7 detect -> crop at the DETECTED geometry -> pixel-read recognize
     -> CTC decode. Oracle: render-spec geometry + span_text == chunk."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    nparts = spark.sparkContext.defaultParallelism * 4
+    from ..io.synth import adaptive_partitions
+    nparts = adaptive_partitions(spark, f"{sf_dir}/documents.parquet",
+                                 floor_waves=1, cap_waves=4)
     return docs.repartition(nparts, "doc_id").mapInPandas(
         _spans_batch, schema=RASTER_SPANS_SCHEMA
     )
@@ -312,7 +316,9 @@ def raster_extract_text(spark, sf_dir: str):
     Oracle: extracted_text == documents.text (the north-rule per-row
     invariant), n_regions == the chunk count."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    nparts = spark.sparkContext.defaultParallelism * 4
+    from ..io.synth import adaptive_partitions
+    nparts = adaptive_partitions(spark, f"{sf_dir}/documents.parquet",
+                                 floor_waves=1, cap_waves=4)
     return docs.repartition(nparts, "doc_id").mapInPandas(
         _extract_batch, schema=RASTER_EXTRACT_SCHEMA
     )
