@@ -89,5 +89,17 @@ def test_dedup_simhash_plan_is_capped_agg_not_window(spark):
     assert "partial_collect_list" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # round 8: the final plan reads ONLY the materialized signature
+    # table (the r7 template re-ran the md5+bit-vote projection for each
+    # of its three sigs references — 6 parquet scans); the signature
+    # materialization itself projects doc_id+text only
+    assert "Scan parquet" not in plan
+    from usls_doc_spark.operators.text_queries import _words
+    from usls_doc_spark.operators.dialect import SPARK as _S
+
+    sig_plan = (
+        spark.sql(f"SELECT doc_id, {_words(_S)} AS ws FROM documents")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    read = [l for l in sig_plan.splitlines() if "ReadSchema" in l][0]
     assert "doc_id" in read and "text" in read and "lang" not in read

@@ -86,7 +86,10 @@ def test_text_exec_equals_templates(spark):
     """Round-8 materialized executions registered for template queries
     must equal the template rendering row-for-row (the oracle text is
     the template; the registry runs the exec)."""
-    from usls_doc_spark.operators.text_exec import lm_bigram_fluency_exec
+    from usls_doc_spark.operators.text_exec import (
+        dedup_simhash_exec,
+        lm_bigram_fluency_exec,
+    )
     from usls_doc_spark.operators.web_curation import cms_heavy_hitters_exec
     from usls_doc_spark.queries import _register_views
 
@@ -95,6 +98,7 @@ def test_text_exec_equals_templates(spark):
         for name, fn in (
             ("lm_bigram_fluency", lm_bigram_fluency_exec),
             ("cms_heavy_hitters", cms_heavy_hitters_exec),
+            ("dedup_simhash", dedup_simhash_exec),
         ):
             want = sorted(tuple(r) for r in
                           spark.sql(render_spark(name)).collect())

@@ -31,7 +31,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .dialect import SPARK
-from .text_queries import LM_PPB
+from .text_queries import (
+    LM_PPB,
+    SIMHASH_BAND_BITS,
+    SIMHASH_BAND_CAP,
+    SIMHASH_BANDS,
+    SIMHASH_HAM_MAX,
+    _words,
+)
 
 
 def lm_bigram_fluency_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,4 +108,83 @@ LEFT JOIN (
          CAST({d.intdiv("sum(p_ppb)", "count(*)")} AS BIGINT) AS avg_prob_ppb
   FROM scored GROUP BY doc_id
 ) s ON o.doc_id = s.doc_id
+""")
+
+
+def dedup_simhash_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_simhash with the signature table materialized ONCE. The
+    template's `sigs` CTE (one md5 per word + 64 array-HOF bit votes —
+    the expensive projection) is referenced three times (band explode,
+    pair-verify join a, join b) and Spark's CTE inlining re-ran it for
+    each: 6 parquet scans in the executed plan
+    (plans/r08/dedup_simhash_before.txt). Fragments are rendered with
+    the same Dialect atoms as the template; exec == template is pinned
+    by test_text_exec_equals_templates at two SFs."""
+    from ..queries import _register_views
+
+    _register_views(spark, sf_dir)
+    d = SPARK
+    w = _words(d)
+    wmd = d.array_transform("ws", "x", d.md5("x"))
+    wh_cols = ", ".join(
+        d.array_transform(
+            "wmd", "h", d.hex32_to_bigint(f"substr(h, {1 + 4 * k}, 4)")
+        )
+        + f" AS wh{k}"
+        for k in range(SIMHASH_BANDS)
+    )
+    sh_cols = []
+    for k in range(SIMHASH_BANDS):
+        bit_terms = []
+        for b in range(SIMHASH_BAND_BITS):
+            signed = d.array_transform(
+                f"wh{k}",
+                "h",
+                f"CASE WHEN ({d.shiftright('h', b)}) & 1 = 1 THEN 1 ELSE -1 END",
+            )
+            bit_terms.append(
+                f"(CASE WHEN {d.array_sum_bigint(signed)} > 0 THEN {1 << b} ELSE 0 END)"
+            )
+        sh_cols.append(" + ".join(bit_terms) + f" AS sh{k}")
+    sh_select = ",\n         ".join(sh_cols)
+    sh_array = "array(" + ", ".join(f"sh{k}" for k in range(SIMHASH_BANDS)) + ")"
+    sigs = spark.sql(f"""
+WITH wh AS (
+  SELECT doc_id, {wh_cols}
+  FROM (SELECT doc_id, {wmd} AS wmd
+        FROM (SELECT doc_id, {w} AS ws FROM documents))
+)
+SELECT doc_id, {sh_select} FROM wh
+""").localCheckpoint()
+    sigs.createOrReplaceTempView("_simhash_sigs_mat")
+    pairs_arr = (
+        "flatten(transform(members, x -> "
+        "transform(filter(members, y -> y > x), y -> array(x, y))))"
+    )
+    head = d.array_slice(d.sorted_list("doc_id"), 1, SIMHASH_BAND_CAP)
+    hamming = " + ".join(
+        f"bit_count({d.bit_xor2(f'a.sh{k}', f'b.sh{k}')})"
+        for k in range(SIMHASH_BANDS)
+    )
+    return spark.sql(f"""
+WITH bands AS (
+  SELECT doc_id, band, band_key FROM _simhash_sigs_mat
+  LATERAL VIEW posexplode({sh_array}) t AS band, band_key
+),
+heads AS (
+  SELECT band, band_key, {head} AS members
+  FROM bands GROUP BY band, band_key
+),
+cand AS (
+  SELECT {d.element("pr", "1")} AS doc_a, {d.element("pr", "2")} AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared_bands
+  FROM (SELECT {pairs_arr} AS prs FROM heads) h {d.explode("prs", "pr")}
+  GROUP BY {d.element("pr", "1")}, {d.element("pr", "2")}
+)
+SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+       CAST({hamming} AS BIGINT) AS hamming
+FROM cand c
+JOIN _simhash_sigs_mat a ON a.doc_id = c.doc_a
+JOIN _simhash_sigs_mat b ON b.doc_id = c.doc_b
+WHERE {hamming} <= {SIMHASH_HAM_MAX}
 """)

@@ -426,12 +426,18 @@ def build_registry() -> tuple[dict, dict]:
     # template's executed plan held 12 documents scans via CTE inlining;
     # the exec runs 4 with c1 derived from materialized c2; oracle text
     # unchanged)
-    from .operators.text_exec import lm_bigram_fluency_exec
+    from .operators.text_exec import dedup_simhash_exec, lm_bigram_fluency_exec
 
     queries["lm_bigram_fluency"] = lm_bigram_fluency_exec
     # the TEXT_QUERIES loop below skips names already in `queries`, so
     # the oracle must be registered here explicitly
     oracles["lm_bigram_fluency"] = TEXT_QUERIES["lm_bigram_fluency"](DUCK)
+
+    # round 8: simhash with the signature CTE materialized once (the
+    # template re-ran the md5+bit-vote projection for each of its three
+    # references; oracle text unchanged)
+    queries["dedup_simhash"] = dedup_simhash_exec
+    oracles["dedup_simhash"] = TEXT_QUERIES["dedup_simhash"](DUCK)
 
     # packed-shard export round-trip (round 7): terminal sink -> custom
     # Python DataSource (manifest-planned, per-shard sha256-verified) ->
