@@ -87,6 +87,8 @@ def test_text_exec_equals_templates(spark):
     must equal the template rendering row-for-row (the oracle text is
     the template; the registry runs the exec)."""
     from usls_doc_spark.operators.text_exec import (
+        corpus_curation_exec,
+        dedup_ngram_jaccard_exec,
         dedup_simhash_exec,
         lm_bigram_fluency_exec,
     )
@@ -99,6 +101,8 @@ def test_text_exec_equals_templates(spark):
             ("lm_bigram_fluency", lm_bigram_fluency_exec),
             ("cms_heavy_hitters", cms_heavy_hitters_exec),
             ("dedup_simhash", dedup_simhash_exec),
+            ("dedup_ngram_jaccard", dedup_ngram_jaccard_exec),
+            ("corpus_curation", corpus_curation_exec),
         ):
             want = sorted(tuple(r) for r in
                           spark.sql(render_spark(name)).collect())

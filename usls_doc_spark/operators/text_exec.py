@@ -188,3 +188,106 @@ JOIN _simhash_sigs_mat a ON a.doc_id = c.doc_a
 JOIN _simhash_sigs_mat b ON b.doc_id = c.doc_b
 WHERE {hamming} <= {SIMHASH_HAM_MAX}
 """)
+
+
+def _lsh_tail_sql(ds_view: str) -> str:
+    """sigs/bands/cands CTE text over a MATERIALIZED ds view — the
+    Spark rendering of _lsh_jaccard_ctes' candidate stage with `ds`
+    replaced by the view (4 single-minhash bands, capped buckets,
+    distinct candidate pairs)."""
+    from .text_queries import _capped_bands
+
+    d = SPARK
+    mh_cols = ", ".join(
+        d.array_min(d.array_transform("sh", "s", d.md5(f"'{j}:' || s")))
+        + f" AS mh{j}"
+        for j in range(4)
+    )
+    mh_array = "array(" + ", ".join(f"mh{j}" for j in range(4)) + ")"
+    bands = (
+        f"SELECT doc_id, band, band_key FROM sigs "
+        f"LATERAL VIEW posexplode({mh_array}) t AS band, band_key"
+    )
+    return f"""sigs AS (SELECT doc_id, {mh_cols} FROM {ds_view}),
+{_capped_bands(bands)},
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+
+def dedup_ngram_jaccard_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_ngram_jaccard with the distinct-shingle table materialized
+    ONCE (the template's ds CTE is referenced by sigs and both verify
+    sides — 8 parquet scans via inlining,
+    plans/r08/dedup_ngram_jaccard_before.txt)."""
+    from ..queries import _register_views
+    from .text_queries import _jaccard_exprs, _words
+
+    _register_views(spark, sf_dir)
+    d = SPARK
+    w = _words(d)
+    sh = d.array_distinct(d.shingles("ws", 3))
+    ds = spark.sql(
+        f"SELECT doc_id, {sh} AS sh "
+        f"FROM (SELECT doc_id, {w} AS ws FROM documents)"
+    ).localCheckpoint()
+    ds.createOrReplaceTempView("_lsh_ds_mat")
+    inter, alen, blen = _jaccard_exprs(d)
+    return spark.sql(f"""
+WITH {_lsh_tail_sql("_lsh_ds_mat")},
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         {inter} AS shared,
+         {alen} AS na,
+         {blen} AS nb
+  FROM cands c
+  JOIN _lsh_ds_mat a ON a.doc_id = c.doc_a
+  JOIN _lsh_ds_mat b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, shared,
+       CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+FROM verified
+ORDER BY CAST(shared AS DOUBLE) / (na + nb - shared) DESC, doc_a, doc_b
+LIMIT 20
+""")
+
+
+def corpus_curation_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_curation with the quality-gated shingle table materialized
+    ONCE (the template's ds is referenced by sigs, both verify sides AND
+    the final survivor select — 10 parquet scans via inlining,
+    plans/r08/corpus_curation_before.txt)."""
+    from ..queries import _register_views
+    from .text_queries import STOPWORDS, _jaccard_exprs, _words
+
+    _register_views(spark, sf_dir)
+    d = SPARK
+    w = _words(d)
+    sh = d.array_distinct(d.shingles("ws", 3))
+    en = ", ".join(f"'{t}'" for t in STOPWORDS["en"])
+    ds = spark.sql(f"""
+SELECT doc_id, lang, n_chars, {sh} AS sh FROM (
+  SELECT doc_id, lang, n_chars, ws FROM (
+    SELECT doc_id, lang, n_chars, {w} AS ws FROM documents
+  ) base
+  WHERE {d.array_len("ws")} >= 20
+    AND CAST({d.array_filter_count("ws", "x", f"x IN ({en})")} AS DOUBLE)
+        / {d.array_len("ws")} >= 0.02
+) quality
+""").localCheckpoint()
+    ds.createOrReplaceTempView("_cc_ds_mat")
+    inter, alen, blen = _jaccard_exprs(d)
+    return spark.sql(f"""
+WITH {_lsh_tail_sql("_cc_ds_mat")},
+dups AS (
+  SELECT c.doc_b AS drop_id
+  FROM cands c
+  JOIN _cc_ds_mat a ON a.doc_id = c.doc_a
+  JOIN _cc_ds_mat b ON b.doc_id = c.doc_b
+  WHERE CAST({inter} AS DOUBLE) / ({alen} + {blen} - {inter}) >= 0.5
+)
+SELECT doc_id, lang, n_chars FROM _cc_ds_mat ds
+WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.drop_id = ds.doc_id)
+""")

@@ -605,4 +605,16 @@ def build_registry() -> tuple[dict, dict]:
             queries[name] = _sql_query(name)
             oracles[name] = TEXT_QUERIES[name](DUCK)
 
+    # round 8: the shared-LSH pair queries with the shingle table
+    # materialized once (ds re-ran 8x/10x via CTE inlining; oracle texts
+    # unchanged). Registered AFTER the _CERTIFIED_TAIL loop — both names
+    # are tail members, so an earlier override would be silently
+    # re-registered back to the template (this bit once).
+    from .operators.text_exec import corpus_curation_exec, dedup_ngram_jaccard_exec
+
+    queries["dedup_ngram_jaccard"] = dedup_ngram_jaccard_exec
+    oracles["dedup_ngram_jaccard"] = TEXT_QUERIES["dedup_ngram_jaccard"](DUCK)
+    queries["corpus_curation"] = corpus_curation_exec
+    oracles["corpus_curation"] = TEXT_QUERIES["corpus_curation"](DUCK)
+
     return _order_registry(queries, oracles)
