@@ -108,3 +108,75 @@ def test_text_exec_equals_templates(spark):
                           spark.sql(render_spark(name)).collect())
             got = sorted(tuple(r) for r in fn(spark, sf).collect())
             assert got == want, name
+
+
+def test_semantic_cells_exec_when_cell_cap_binds(spark, tmp_path):
+    """The per-cell membership cap (SEMDEDUP_CELL_CAP) never binds on the
+    shipped SFs (largest cell ~266 of 1024), but a larger driver SF can
+    bind it — and the exec's two-level salted rank must then still pick
+    EXACTLY the template's row_number membership. Synthetic corpus:
+    2600 vectors engineered into few cells so at least one cell exceeds
+    the cap, checked exec == template row-for-row."""
+    import numpy as np
+
+    from usls_doc_spark.operators.training_mix import SEMDEDUP_CELL_CAP
+    from usls_doc_spark.queries import _register_views
+
+    rng = np.random.default_rng(3)
+    n = 2600
+    # two tight blobs -> vectors land in very few trained cells, so one
+    # cell's membership far exceeds the 1024 cap
+    centers = rng.normal(0, 1, size=(2, 64)).astype(np.float32)
+    vecs = (centers[rng.integers(0, 2, size=n)]
+            + rng.normal(0, 0.01, size=(n, 64))).astype(np.float32)
+    sf = str(tmp_path / "sfbig")
+    import os
+
+    os.makedirs(sf)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  type=pa.list_(pa.float32())),
+        }),
+        f"{sf}/embeddings.parquet",
+    )
+    spark.read.parquet(f"{sf}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+    want = sorted(
+        tuple(r) for r in
+        spark.sql(render_spark("dedup_semantic_cells")).collect()
+    )
+    got = sorted(
+        tuple(r) for r in dedup_semantic_cells_exec(spark, sf).collect()
+    )
+    assert got == want
+    # the binding branch is genuinely exercised: replay the trained
+    # assignment with the exec's own kernel and assert some cell's
+    # membership exceeds the cap (correctness above is proven against
+    # the template, which computes the cap with the row_number window)
+    from usls_doc_spark.kernels.lloyd import assign_cells
+    from usls_doc_spark.operators.training_mix_exec import (
+        _QCOLS,
+        _cent_arrays,
+        _quant_exprs,
+        _trained_centroids,
+    )
+
+    base = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .selectExpr("vec_id", *_quant_exprs())
+        .localCheckpoint()
+    )
+    cents = _trained_centroids(spark, base)
+    Q = np.array(
+        [[r[q] for q in _QCOLS] for r in base.collect()], dtype=np.int64
+    )
+    C, cids = _cent_arrays(cents)
+    counts = np.bincount(assign_cells(Q, C, cids, 8), minlength=8)
+    assert counts.max() > SEMDEDUP_CELL_CAP, counts
+    _register_views(spark, "/root/testdata/sf0.001")  # restore views
