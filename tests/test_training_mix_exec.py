@@ -123,12 +123,14 @@ def test_semantic_cells_exec_when_cell_cap_binds(spark, tmp_path):
     from usls_doc_spark.queries import _register_views
 
     rng = np.random.default_rng(3)
-    n = 2600
-    # two tight blobs -> vectors land in very few trained cells, so one
-    # cell's membership far exceeds the 1024 cap
-    centers = rng.normal(0, 1, size=(2, 64)).astype(np.float32)
-    vecs = (centers[rng.integers(0, 2, size=n)]
-            + rng.normal(0, 0.01, size=(n, 64))).astype(np.float32)
+    # 8 diverse seed vectors (they become the Lloyd seeds), then a block
+    # of 1200 IDENTICAL vectors — identical vectors share one nearest
+    # centroid, so their trained cell holds >1024 members — then noise
+    seeds = rng.normal(0, 1, size=(8, 64))
+    dup = np.tile(rng.normal(0, 1, size=64), (1200, 1))
+    rest = rng.normal(0, 1, size=(1392, 64))
+    vecs = np.vstack([seeds, dup, rest]).astype(np.float32)
+    n = len(vecs)
     sf = str(tmp_path / "sfbig")
     import os
 
