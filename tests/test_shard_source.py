@@ -105,11 +105,22 @@ def test_streaming_shard_ingest_two_waves(spark, tmp_path_factory):
 
     src = str(tmp_path_factory.mktemp("shard_stream") / "exp")
     export_from_sf(spark, SF_DIR, src)
-    full = _json.load(open(f"{src}/{MANIFEST_NAME}"))
+    manifest_path = f"{src}/{MANIFEST_NAME}"
+
+    def _replace_manifest(payload):
+        # Atomic, like the export writer (io/export.py): the stream's
+        # offset-poll thread reads the manifest concurrently, and an
+        # in-place truncate-and-write can expose a half-written file.
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(payload, f)
+        os.replace(tmp, manifest_path)
+
+    full = _json.load(open(manifest_path))
     keys = sorted(full["shards"])
     assert len(keys) >= 4
     half = {k: full["shards"][k] for k in keys[: len(keys) // 2]}
-    _json.dump({**full, "shards": half}, open(f"{src}/{MANIFEST_NAME}", "w"))
+    _replace_manifest({**full, "shards": half})
 
     register_shard_source(spark)
     sink = str(tmp_path_factory.mktemp("shard_stream_sink") / "out")
@@ -127,7 +138,7 @@ def test_streaming_shard_ingest_two_waves(spark, tmp_path_factory):
         wave1 = spark.read.parquet(sink).count()
         assert wave1 == sum(e["lines"] for e in half.values())
         # wave 2: the full manifest lands
-        _json.dump(full, open(f"{src}/{MANIFEST_NAME}", "w"))
+        _replace_manifest(full)
         q.processAllAvailable()
     finally:
         q.stop()
