@@ -43,6 +43,28 @@ def test_short_docs_drop_out_identically(spark):
     assert got == want  # bit-identical doubles
 
 
+def test_exec_matches_template_on_edge_corpus(spark):
+    """The round-8 materialized exec (trigram kernel + template tail)
+    must reproduce the template bit-for-bit on the edge corpus: short
+    docs drop out identically, and codepoint slicing must agree with
+    split(text, '') for astral-plane characters (Python len/slicing and
+    Spark length()/split both count codepoints, not UTF-16 units)."""
+    from usls_doc_spark.operators.text_exec import _qnf_from_documents
+
+    docs = DOCS + [
+        (7, "a😀b😀c😀", "en"),       # astral-plane codepoints
+        (8, "😀😀", "en"),            # 2 codepoints (4 UTF-16 units): no trigram
+        (9, "née déjà vu ascii", "en"),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id bigint, text string, lang string")
+    sdf.createOrReplaceTempView("documents")
+    want = sorted(
+        tuple(r) for r in spark.sql(q_quality_ngram_familiarity(SPARK)).collect()
+    )
+    got = sorted(tuple(r) for r in _qnf_from_documents(spark).collect())
+    assert got == want  # bit-identical doubles, identical row set
+
+
 def test_familiarity_values_exact():
     con = _duck()
     rows = {r[0]: r for r in con.sql(q_quality_ngram_familiarity(DUCK)).fetchall()}

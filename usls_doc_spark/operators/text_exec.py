@@ -28,6 +28,8 @@ each reference re-running the word-split + explode. Here:
 
 from __future__ import annotations
 
+from collections import Counter
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .dialect import SPARK
@@ -109,6 +111,83 @@ LEFT JOIN (
   FROM scored GROUP BY doc_id
 ) s ON o.doc_id = s.doc_id
 """)
+
+
+QNF_DTG_SCHEMA = "doc_id bigint, t string, k bigint"
+
+
+def _emit_doc_trigram_counts(batches):
+    """The template's dtg CTE, per Arrow batch: (doc_id, trigram, k) for
+    every distinct char trigram of each doc with length >= 3. Python
+    slicing and len() operate on codepoints exactly like Spark's
+    split(text, '') / length() (verified incl. astral-plane chars), so
+    the emitted rows are the template's dtg rows verbatim."""
+    import pandas as pd
+
+    for pdf in batches:
+        ids: list[int] = []
+        ts: list[str] = []
+        ks: list[int] = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if text is None or len(text) < 3:
+                continue
+            c = Counter([text[i : i + 3] for i in range(len(text) - 2)])
+            ids.extend([doc_id] * len(c))
+            ts.extend(c.keys())
+            ks.extend(c.values())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "t": pd.array(ts, dtype=object),
+                "k": pd.array(ks, dtype="int64"),
+            }
+        )
+
+
+def _qnf_from_documents(spark: SparkSession) -> DataFrame:
+    """quality_ngram_familiarity over the session's `documents` view —
+    split out so edge tests can point `documents` at synthetic data."""
+    docs = spark.table("documents").select("doc_id", "text")
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
+    dtg = (
+        docs.repartition(n_part, "doc_id")
+        .mapInPandas(_emit_doc_trigram_counts, QNF_DTG_SCHEMA)
+        .localCheckpoint()
+    )
+    dtg.createOrReplaceTempView("_qnf_dtg_mat")
+    return spark.sql("""
+WITH dtg AS (SELECT doc_id, t, k FROM _qnf_dtg_mat),
+cnt AS (SELECT t, CAST(sum(k) AS BIGINT) AS c FROM dtg GROUP BY t),
+tot AS (SELECT CAST(sum(k) AS BIGINT) AS n FROM dtg)
+SELECT dtg.doc_id,
+       CAST(sum(dtg.k) AS BIGINT) AS n_trigrams,
+       (CAST(sum(CAST(dtg.k AS DECIMAL(18,0)) * CAST(cnt.c AS DECIMAL(18,0))) AS DOUBLE)
+          * 1000000)
+         / (CAST(sum(dtg.k) AS DOUBLE) * (SELECT n FROM tot)) AS familiarity
+FROM dtg JOIN cnt ON dtg.t = cnt.t
+GROUP BY dtg.doc_id
+""")
+
+
+def quality_ngram_familiarity_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality_ngram_familiarity with the dtg stage as a numpy/pandas
+    kernel and materialized ONCE. The template's trigram generation is a
+    per-element interpreted HOF lambda (transform + 3x try_element_at +
+    concat — Spark runs HOF lambdas interpreted, the dup_char_kgram
+    pathology), and its dtg CTE is referenced three times (cnt, tot,
+    final join), so inlining re-ran the whole explode+agg subtree per
+    reference: 6 parquet scans, 149 s isolated at sf0.1
+    (plans/r08/quality_ngram_familiarity_before.txt). The kernel emits
+    the dtg rows verbatim (exact integer counts over identical codepoint
+    trigrams); every later value expression is the template's text
+    character-for-character — the DECIMAL(37,0)-exact weighted sum, one
+    double multiply, one double divide — so every double matches
+    bitwise. Guide §4.2 (HOF -> kernel), §2.4 (materialize
+    multi-referenced subtrees)."""
+    from ..queries import _register_views
+
+    _register_views(spark, sf_dir)
+    return _qnf_from_documents(spark)
 
 
 def dedup_simhash_exec(spark: SparkSession, sf_dir: str) -> DataFrame:

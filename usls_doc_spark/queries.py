@@ -610,11 +610,23 @@ def build_registry() -> tuple[dict, dict]:
     # unchanged). Registered AFTER the _CERTIFIED_TAIL loop — both names
     # are tail members, so an earlier override would be silently
     # re-registered back to the template (this bit once).
-    from .operators.text_exec import corpus_curation_exec, dedup_ngram_jaccard_exec
+    from .operators.text_exec import (
+        corpus_curation_exec,
+        dedup_ngram_jaccard_exec,
+        quality_ngram_familiarity_exec,
+    )
 
     queries["dedup_ngram_jaccard"] = dedup_ngram_jaccard_exec
     oracles["dedup_ngram_jaccard"] = TEXT_QUERIES["dedup_ngram_jaccard"](DUCK)
     queries["corpus_curation"] = corpus_curation_exec
     oracles["corpus_curation"] = TEXT_QUERIES["corpus_curation"](DUCK)
+    # round 8: quality_ngram_familiarity's trigram stage is an interpreted
+    # HOF lambda re-run 3x via dtg inlining (149 s isolated at sf0.1,
+    # never bench-timed — found closing the bench blind spot); the exec
+    # runs the dtg stage as a mapInPandas kernel, materialized once.
+    queries["quality_ngram_familiarity"] = quality_ngram_familiarity_exec
+    oracles["quality_ngram_familiarity"] = TEXT_QUERIES[
+        "quality_ngram_familiarity"
+    ](DUCK)
 
     return _order_registry(queries, oracles)
