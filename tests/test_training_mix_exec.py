@@ -91,6 +91,7 @@ def test_text_exec_equals_templates(spark):
         dedup_ngram_jaccard_exec,
         dedup_simhash_exec,
         lm_bigram_fluency_exec,
+        lsh_recall_exec,
         quality_ngram_familiarity_exec,
     )
     from usls_doc_spark.operators.web_curation import cms_heavy_hitters_exec
@@ -105,6 +106,7 @@ def test_text_exec_equals_templates(spark):
             ("dedup_ngram_jaccard", dedup_ngram_jaccard_exec),
             ("corpus_curation", corpus_curation_exec),
             ("quality_ngram_familiarity", quality_ngram_familiarity_exec),
+            ("lsh_recall", lsh_recall_exec),
         ):
             want = sorted(tuple(r) for r in
                           spark.sql(render_spark(name)).collect())

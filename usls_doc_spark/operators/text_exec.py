@@ -333,6 +333,65 @@ LIMIT 20
 """)
 
 
+def lsh_recall_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lsh_recall with ds / cands / exact materialized ONCE. The
+    template's final one-row SELECT references `exact` three times and
+    `cands` twice as scalar subqueries, `exact` itself joins ds twice
+    and builds xpairs from an inv self-join (2 more ds references), and
+    cands runs the sigs/bands chain — CTE inlining re-ran everything per
+    reference: 52 parquet scans in the executed plan
+    (plans/r08/lsh_recall_before.txt), 12 s isolated at sf0.1 for a
+    one-row answer. The exec materializes each stage once; every value
+    expression (the Jaccard filter, the counts, the single recall
+    division) is the template's text verbatim, so the one output row is
+    identical. The inv self-join stays by design — it is the EXHAUSTIVE
+    exact side that makes this the measurement harness (docstring of the
+    template); materialization removes only the re-execution."""
+    from ..queries import _register_views
+    from .text_queries import _jaccard_exprs, _words
+
+    _register_views(spark, sf_dir)
+    d = SPARK
+    w = _words(d)
+    sh = d.array_distinct(d.shingles("ws", 3))
+    ds = spark.sql(
+        f"SELECT doc_id, {sh} AS sh "
+        f"FROM (SELECT doc_id, {w} AS ws FROM documents)"
+    ).localCheckpoint()
+    ds.createOrReplaceTempView("_lshr_ds_mat")
+    cands = spark.sql(
+        f"WITH {_lsh_tail_sql('_lshr_ds_mat')} SELECT doc_a, doc_b FROM cands"
+    ).localCheckpoint()
+    cands.createOrReplaceTempView("_lshr_cands_mat")
+    inter, alen, blen = _jaccard_exprs(d)
+    exact = spark.sql(f"""
+WITH inv AS (SELECT doc_id, s FROM _lshr_ds_mat LATERAL VIEW explode(sh) t AS s),
+xpairs AS (
+  SELECT DISTINCT i.doc_id AS doc_a, j.doc_id AS doc_b
+  FROM inv i JOIN inv j ON i.s = j.s AND i.doc_id < j.doc_id
+)
+SELECT p.doc_a, p.doc_b
+FROM xpairs p
+JOIN _lshr_ds_mat a ON a.doc_id = p.doc_a
+JOIN _lshr_ds_mat b ON b.doc_id = p.doc_b
+WHERE CAST({inter} AS DOUBLE) / ({alen} + {blen} - {inter}) >= 0.5
+""").localCheckpoint()
+    exact.createOrReplaceTempView("_lshr_exact_mat")
+    return spark.sql("""
+WITH hits AS (
+  SELECT count(*) AS n_hits
+  FROM _lshr_exact_mat e
+  JOIN _lshr_cands_mat c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+)
+SELECT (SELECT count(*) FROM _lshr_exact_mat) AS n_exact,
+       (SELECT count(*) FROM _lshr_cands_mat) AS n_candidates,
+       (SELECT n_hits FROM hits) AS n_hits,
+       CASE WHEN (SELECT count(*) FROM _lshr_exact_mat) = 0 THEN NULL
+            ELSE CAST((SELECT n_hits FROM hits) AS DOUBLE)
+                 / (SELECT count(*) FROM _lshr_exact_mat) END AS recall
+""")
+
+
 def corpus_curation_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """corpus_curation with the quality-gated shingle table materialized
     ONCE (the template's ds is referenced by sigs, both verify sides AND

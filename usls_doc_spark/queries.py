@@ -439,6 +439,15 @@ def build_registry() -> tuple[dict, dict]:
     queries["dedup_simhash"] = dedup_simhash_exec
     oracles["dedup_simhash"] = TEXT_QUERIES["dedup_simhash"](DUCK)
 
+    # round 8: lsh_recall with ds/cands/exact materialized once (the
+    # template's scalar subqueries re-ran the whole subtree per
+    # reference — 52 parquet scans for a one-row answer; oracle text
+    # unchanged)
+    from .operators.text_exec import lsh_recall_exec
+
+    queries["lsh_recall"] = lsh_recall_exec
+    oracles["lsh_recall"] = TEXT_QUERIES["lsh_recall"](DUCK)
+
     # packed-shard export round-trip (round 7): terminal sink -> custom
     # Python DataSource (manifest-planned, per-shard sha256-verified) ->
     # full row set == the split_and_pack assignment + text, proven in SQL
