@@ -34,8 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dialect import DUCK, SPARK
-from .text_queries import build_verified_pairs
+from .dialect import DUCK
 
 MAX_ITERS = 50  # pointer-jumping halves label-chain depth per round:
 #                 O(log2(diameter)) rounds, so 50 covers diameter ~2**50
@@ -222,9 +221,14 @@ def dedup_components(
     ``checkpoint_dir`` switches the per-round lineage cut from
     localCheckpoint to reliable checkpoints (see min_label_components)."""
     from ..queries import _register_views
+    from .text_exec import verified_pairs_mat
 
     _register_views(spark, sf_dir)
-    edges = spark.sql(build_verified_pairs(SPARK))
+    # round 8: the edge list is materialized once (text_exec.
+    # verified_pairs_mat — identical rows to build_verified_pairs(SPARK));
+    # inlined, the 8-scan LSH chain re-ran once per undirected-union
+    # branch before the loop's cache materialized.
+    edges = verified_pairs_mat(spark)
     labels = min_label_components(edges, checkpoint_dir=checkpoint_dir)
     sizes = labels.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("n_members")

@@ -333,6 +333,37 @@ LIMIT 20
 """)
 
 
+def verified_pairs_mat(spark: SparkSession, threshold: float = 0.5) -> DataFrame:
+    """build_verified_pairs (the near-dup edge list) with ds materialized
+    once and the result localCheckpointed — the Spark-side execution
+    dedup_components feeds its label-propagation loop. The template
+    inlines ds into sigs and both verify-join sides (the
+    dedup_ngram_jaccard 8-scan shape), and the CC loop's undirected
+    union then evaluates the whole chain once PER UNION BRANCH before
+    the cache materializes. Value expressions are the template's text
+    verbatim (same Jaccard filter, same threshold formatting), so the
+    edge set is identical row-for-row."""
+    from .text_queries import _jaccard_exprs, _words
+
+    d = SPARK
+    w = _words(d)
+    sh = d.array_distinct(d.shingles("ws", 3))
+    ds = spark.sql(
+        f"SELECT doc_id, {sh} AS sh "
+        f"FROM (SELECT doc_id, {w} AS ws FROM documents)"
+    ).localCheckpoint()
+    ds.createOrReplaceTempView("_vp_ds_mat")
+    inter, alen, blen = _jaccard_exprs(d)
+    return spark.sql(f"""
+WITH {_lsh_tail_sql("_vp_ds_mat")}
+SELECT c.doc_a, c.doc_b
+FROM cands c
+JOIN _vp_ds_mat a ON a.doc_id = c.doc_a
+JOIN _vp_ds_mat b ON b.doc_id = c.doc_b
+WHERE CAST({inter} AS DOUBLE) / ({alen} + {blen} - {inter}) >= {threshold}
+""").localCheckpoint()
+
+
 def lsh_recall_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lsh_recall with ds / cands / exact materialized ONCE. The
     template's final one-row SELECT references `exact` three times and
